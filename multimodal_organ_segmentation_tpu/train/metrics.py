@@ -1,0 +1,197 @@
+"""Evaluation metrics with device-side (psum-able) accumulators.
+
+Reference contracts (src/trainer/metrics.py):
+
+- ``DiceMetric``       — streaming per-class ∩/∪ accumulators, compute →
+                         mean foreground dice + per-class list, smooth 1e-5
+                         (metrics.py:11-88). Here the per-batch update is a
+                         jit-compiled device reduction; the accumulator is a
+                         small fp32 vector, so it can also be ``psum``-ed
+                         across a data-parallel mesh axis.
+- ``ConfusionMatrix``  — the reference updates voxel-by-voxel in a Python
+                         loop (metrics.py:195-196, pathologically slow);
+                         rebuilt as one ``jnp.bincount`` over
+                         ``t * C + p`` indices.
+- ``HausdorffDistance``— percentile HD via Euclidean distance transform.
+                         EDT runs host-side: the native C++ kernel
+                         (native/edt.cc, Felzenszwalb lower-envelope) when
+                         built, else scipy.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("num_classes",))
+def _dice_update(pred: jax.Array, target: jax.Array, num_classes: int):
+    """Per-class intersection and union sums over the whole batch."""
+    pred_oh = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)
+    tgt_oh = jax.nn.one_hot(target, num_classes, dtype=jnp.float32)
+    inter = jnp.sum(pred_oh * tgt_oh, axis=tuple(range(pred_oh.ndim - 1)))
+    union = jnp.sum(pred_oh, axis=tuple(range(pred_oh.ndim - 1))) + jnp.sum(
+        tgt_oh, axis=tuple(range(tgt_oh.ndim - 1))
+    )
+    return inter, union
+
+
+class DiceMetric:
+    """Streaming Dice over integer prediction/target volumes."""
+
+    def __init__(
+        self,
+        num_classes: int,
+        include_background: bool = False,
+        reduction: str = "mean",
+    ):
+        self.num_classes = num_classes
+        self.include_background = include_background
+        self.reduction = reduction
+        self.reset()
+
+    def reset(self) -> None:
+        self.intersection = np.zeros(self.num_classes, dtype=np.float64)
+        self.union = np.zeros(self.num_classes, dtype=np.float64)
+        self.count = 0
+
+    def update(self, pred, target) -> None:
+        inter, union = _dice_update(
+            jnp.asarray(pred), jnp.asarray(target), self.num_classes
+        )
+        self.intersection += np.asarray(inter, dtype=np.float64)
+        self.union += np.asarray(union, dtype=np.float64)
+        self.count += 1
+
+    def compute(self) -> Dict[str, Any]:
+        smooth = 1e-5
+        dice_per_class = (2.0 * self.intersection + smooth) / (self.union + smooth)
+        start = 0 if self.include_background else 1
+        return {
+            "dice": float(np.mean(dice_per_class[start:])),
+            "dice_per_class": dice_per_class.tolist(),
+        }
+
+
+@partial(jax.jit, static_argnames=("num_classes",))
+def _confusion_update(pred: jax.Array, target: jax.Array, num_classes: int):
+    idx = target.reshape(-1).astype(jnp.int32) * num_classes + pred.reshape(-1).astype(
+        jnp.int32
+    )
+    counts = jnp.bincount(idx, length=num_classes * num_classes)
+    return counts.reshape(num_classes, num_classes)
+
+
+class ConfusionMatrix:
+    """Vectorized multi-class confusion matrix (rows=target, cols=pred)."""
+
+    def __init__(self, num_classes: int):
+        self.num_classes = num_classes
+        self.reset()
+
+    def reset(self) -> None:
+        self.matrix = np.zeros((self.num_classes, self.num_classes), dtype=np.int64)
+
+    def update(self, pred, target) -> None:
+        self.matrix += np.asarray(
+            _confusion_update(jnp.asarray(pred), jnp.asarray(target), self.num_classes),
+            dtype=np.int64,
+        )
+
+    def compute(self) -> Dict[str, Any]:
+        tp = np.diag(self.matrix).astype(np.float64)
+        fp = self.matrix.sum(axis=0) - tp
+        fn = self.matrix.sum(axis=1) - tp
+
+        precision = tp / (tp + fp + 1e-8)
+        recall = tp / (tp + fn + 1e-8)
+        f1 = 2 * precision * recall / (precision + recall + 1e-8)
+        accuracy = tp.sum() / (self.matrix.sum() + 1e-8)
+
+        return {
+            "accuracy": float(accuracy),
+            "precision": float(precision.mean()),
+            "recall": float(recall.mean()),
+            "f1": float(f1.mean()),
+            "precision_per_class": precision.tolist(),
+            "recall_per_class": recall.tolist(),
+            "f1_per_class": f1.tolist(),
+            "confusion_matrix": self.matrix.tolist(),
+        }
+
+
+def _distance_transform(mask: np.ndarray, sampling) -> np.ndarray:
+    """EDT of the background of ``mask`` (distance to nearest True voxel).
+
+    Uses the native C++ Felzenszwalb kernel if built, else scipy.
+    """
+    try:
+        from multimodal_organ_segmentation_tpu.ops.edt import distance_transform_edt
+
+        return distance_transform_edt(~mask, sampling=sampling)
+    except Exception:
+        from scipy.ndimage import distance_transform_edt
+
+        return distance_transform_edt(~mask, sampling=sampling)
+
+
+class HausdorffDistance:
+    """Percentile Hausdorff distance on foreground-union surfaces
+    (reference: metrics.py:91-162, incl. the xor-roll border extraction)."""
+
+    def __init__(self, percentile: float = 95):
+        self.percentile = percentile
+        self.distances: list = []
+
+    def reset(self) -> None:
+        self.distances = []
+
+    def update(
+        self,
+        pred,
+        target,
+        spacing: Optional[Tuple[float, float, float]] = None,
+    ) -> None:
+        pred = np.asarray(pred)
+        target = np.asarray(target)
+        spacing = spacing or (1.0, 1.0, 1.0)
+
+        for b in range(pred.shape[0]):
+            pred_b = pred[b] > 0
+            target_b = target[b] > 0
+            if pred_b.sum() == 0 or target_b.sum() == 0:
+                continue
+
+            dist_pred = _distance_transform(pred_b, spacing)
+            dist_target = _distance_transform(target_b, spacing)
+
+            border_pred = pred_b ^ np.roll(pred_b, 1, axis=0)
+            border_target = target_b ^ np.roll(target_b, 1, axis=0)
+
+            d1 = dist_target[border_pred]
+            d2 = dist_pred[border_target]
+            all_d = np.concatenate([d1, d2])
+            if len(all_d) > 0:
+                self.distances.append(np.percentile(all_d, self.percentile))
+
+    def compute(self) -> Dict[str, float]:
+        if not self.distances:
+            return {"hausdorff_distance": float("inf")}
+        return {
+            "hausdorff_distance": float(np.mean(self.distances)),
+            "hausdorff_distance_std": float(np.std(self.distances)),
+        }
+
+
+def get_metrics(config) -> Dict[str, Any]:
+    """Metric factory (reference: metrics.py:229-244)."""
+    num_classes = int(config.get("model.out_channels", 8))
+    return {
+        "dice": DiceMetric(num_classes=num_classes),
+        "confusion": ConfusionMatrix(num_classes=num_classes),
+    }

@@ -1,0 +1,117 @@
+"""Tests for config system, logger, PRNG, IO."""
+
+import argparse
+
+import numpy as np
+import pytest
+
+from multimodal_organ_segmentation_tpu.utils.config import (
+    ConfigNode,
+    default_config,
+    load_config,
+    merge_config_with_args,
+    save_config,
+)
+from multimodal_organ_segmentation_tpu.utils.prng import KeyStream, set_seed
+
+
+def test_confignode_access():
+    cfg = ConfigNode({"a": {"b": {"c": 1}}, "x": [1, 2]})
+    assert cfg.a.b.c == 1
+    assert cfg["a"]["b"]["c"] == 1
+    assert cfg.get("a.b.c") == 1
+    assert cfg.get("a.b.missing", 7) == 7
+    assert cfg.get("nope.nope", "d") == "d"
+    cfg.set("a.b.d", 5)
+    assert cfg.get("a.b.d") == 5
+    assert list(cfg.x) == [1, 2]
+
+
+def test_default_config_schema():
+    cfg = default_config()
+    assert cfg.model.name == "swin_unetr"
+    assert cfg.model.out_channels == 8
+    assert cfg.data.modalities == ["CT", "PET"]
+    assert cfg.training.loss.name == "dice_ce"
+    assert cfg.inference.sliding_window.roi_size == [96, 96, 96]
+    assert cfg.get("training.optimizer.lr") == pytest.approx(1e-4)
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = default_config()
+    cfg["_args"] = {"mode": "train"}
+    save_config(cfg, tmp_path / "c.yaml")
+    loaded = load_config(tmp_path / "c.yaml")
+    assert "_args" not in loaded  # runtime keys stripped on save
+    assert loaded.model.out_channels == 8
+
+
+def test_merge_args():
+    cfg = default_config()
+    args = argparse.Namespace(
+        mode="train",
+        exp_name="exp1",
+        output_dir=None,
+        seed=7,
+        device=None,
+        num_workers=None,
+        epochs=5,
+        batch_size=1,
+        lr=3e-4,
+        model="unet3d",
+        fusion="cross_attention",
+        modalities=["CT"],
+        suv_analysis=True,
+        tmtv_analysis=False,
+        histogram=False,
+        gradcam=True,
+        attention_maps=False,
+        tsne=False,
+        input="/in",
+        output="/out",
+        checkpoint=None,
+        resume=None,
+        verbose=False,
+        debug=False,
+        generate_report=False,
+    )
+    cfg = merge_config_with_args(cfg, args)
+    assert cfg.experiment.name == "exp1"
+    assert cfg.experiment.seed == 7
+    assert cfg.training.epochs == 5
+    assert cfg.training.optimizer.lr == pytest.approx(3e-4)
+    assert cfg.model.name == "unet3d"
+    assert cfg.model.fusion.type == "cross_attention"
+    assert cfg.data.modalities == ["CT"]
+    assert cfg.analysis.suv.enabled is True
+    assert cfg.explainability.gradcam.enabled is True
+    assert cfg["_args"]["input"] == "/in"
+
+
+def test_keystream_deterministic():
+    ks1, ks2 = KeyStream(42), KeyStream(42)
+    a, b = ks1.next(), ks2.next()
+    import jax
+
+    assert jax.random.uniform(a) == jax.random.uniform(b)
+    c = ks1.next()
+    assert jax.random.uniform(a) != jax.random.uniform(c)
+
+
+def test_set_seed_numpy():
+    set_seed(123)
+    x = np.random.rand(3)
+    set_seed(123)
+    y = np.random.rand(3)
+    np.testing.assert_array_equal(x, y)
+
+
+def test_nifti_roundtrip(tmp_path):
+    from multimodal_organ_segmentation_tpu.utils.io import load_nifti, save_nifti
+
+    vol = np.random.rand(8, 9, 10).astype(np.float32)
+    affine = np.diag([1.5, 1.5, 2.0, 1.0])
+    save_nifti(vol, tmp_path / "v.nii.gz", affine=affine)
+    out, aff = load_nifti(tmp_path / "v.nii.gz", return_affine=True)
+    np.testing.assert_allclose(out, vol, rtol=1e-6)
+    np.testing.assert_allclose(aff, affine)
