@@ -1,0 +1,169 @@
+"""Dual/multi-encoder architecture with per-level fusion
+(reference: src/models/backbones/dual_encoder.py:15-254).
+
+One UNet-style encoder per modality; per-level fusion ∈
+{concat(1×1 proj), add, attention (SE over modalities), cross_attention,
+mean}; shared UNet decoder. The input ``[B, H, W, D, M]`` is split
+channel-wise per modality (dual_encoder.py:127-144).
+
+``cross_attention`` extends the reference's fusion vocabulary (its
+DualEncoder only wires concat/add/attention even though the CLI offers
+cross_attention — SURVEY.md §1): modality-0 features attend to the fused
+other-modality features via the blockwise flash path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_organ_segmentation_tpu.models.layers import (
+    ConvBlock3D,
+    DownBlock3D,
+    Dropout3D,
+    UpBlock3D,
+)
+from multimodal_organ_segmentation_tpu.models.fusion import (
+    AttentionFusion,
+    CrossAttentionFusion,
+)
+
+
+class _Encoder(nn.Module):
+    features: Sequence[int]
+    norm: str
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> List[jax.Array]:
+        feats = list(self.features)
+        x = ConvBlock3D(feats[0], norm=self.norm, dtype=self.dtype, name="init_conv")(
+            x, train
+        )
+        outs = [x]
+        for i in range(len(feats) - 1):
+            x, _ = DownBlock3D(
+                feats[i + 1], norm=self.norm, dtype=self.dtype, name=f"down{i}"
+            )(x, train)
+            outs.append(x)
+        return outs
+
+
+class DualEncoder(nn.Module):
+    """Separate encoder per modality + fused shared decoder."""
+
+    num_modalities: int = 2
+    out_channels: int = 8
+    features: Sequence[int] = (32, 64, 128, 256, 512)
+    norm: str = "instance"
+    fusion_type: str = "concat"  # concat, add, attention, cross_attention, mean
+    dropout: float = 0.0
+    cross_attn_heads: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = True,
+        capture: bool = False,
+    ) -> Union[jax.Array, Tuple[jax.Array, Dict[str, Any]]]:
+        feats = list(self.features)
+        x = x.astype(self.dtype)
+
+        all_encoder_features: List[List[jax.Array]] = []
+        for mi in range(self.num_modalities):
+            mod_input = x[..., mi : mi + 1]
+            outs = _Encoder(feats, self.norm, self.dtype, name=f"encoder{mi}")(
+                mod_input, train
+            )
+            all_encoder_features.append(outs)
+
+        fused = self._fuse(all_encoder_features, train)
+
+        y = fused[-1]
+        skips = fused[:-1]
+        for j, i in enumerate(range(len(feats) - 1, 0, -1)):
+            y = UpBlock3D(
+                features=feats[i - 1],
+                up_features=feats[i] // 2,
+                norm=self.norm,
+                dtype=self.dtype,
+                name=f"up{j}",
+            )(y, skips[i - 1], train)
+
+        y = Dropout3D(self.dropout)(y, train)
+        logits = nn.Conv(
+            self.out_channels, (1, 1, 1), dtype=jnp.float32, name="out_conv"
+        )(y.astype(jnp.float32))
+
+        if capture:
+            return logits, {
+                "encoder_features": all_encoder_features,
+                "fused_features": fused,
+            }
+        return logits
+
+    def _fuse(
+        self, all_features: List[List[jax.Array]], train: bool
+    ) -> List[jax.Array]:
+        num_levels = len(all_features[0])
+        fused = []
+        for level in range(num_levels):
+            level_feats = [f[level] for f in all_features]
+            if self.fusion_type == "concat":
+                cat = jnp.concatenate(level_feats, axis=-1)
+                f = nn.Conv(
+                    level_feats[0].shape[-1],
+                    (1, 1, 1),
+                    dtype=self.dtype,
+                    name=f"fusion_proj{level}",
+                )(cat)
+            elif self.fusion_type == "add":
+                f = sum(level_feats)
+            elif self.fusion_type == "attention":
+                f = AttentionFusion(dtype=self.dtype, name=f"fusion_attn{level}")(
+                    level_feats, train
+                )
+            elif self.fusion_type == "cross_attention":
+                others = (
+                    level_feats[1]
+                    if len(level_feats) == 2
+                    else jnp.mean(jnp.stack(level_feats[1:], axis=0), axis=0)
+                )
+                f = CrossAttentionFusion(
+                    num_heads=self.cross_attn_heads,
+                    dtype=self.dtype,
+                    name=f"fusion_xattn{level}",
+                )(level_feats[0], others, train)
+            else:  # mean
+                f = jnp.mean(jnp.stack(level_feats, axis=0), axis=0)
+            fused.append(f)
+        return fused
+
+    @property
+    def encoder_channels(self) -> List[int]:
+        return list(self.features)
+
+
+def build_dual_encoder(config, dtype=jnp.float32) -> DualEncoder:
+    """Factory from config (reference: dual_encoder.py:257-280)."""
+    backbone = config.get("model.backbone", {}) or {}
+    fusion = config.get("model.fusion", {}) or {}
+    num_modalities = len(config.get("data.modalities", ["CT", "PET"]))
+    ftype = str(fusion.get("type", "concat"))
+    # map the CLI vocabulary onto DualEncoder's internal fusion set
+    if ftype in ("early", "late"):
+        ftype = "concat"
+    return DualEncoder(
+        num_modalities=num_modalities,
+        out_channels=int(config.get("model.out_channels", 8)),
+        features=tuple(backbone.get("features", [32, 64, 128, 256, 512])),
+        norm=str(backbone.get("norm", "instance")),
+        fusion_type=ftype,
+        dropout=float(config.get("model.head.dropout", 0.0) or 0.0),
+        dtype=dtype,
+    )

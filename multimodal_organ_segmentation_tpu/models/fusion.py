@@ -1,0 +1,228 @@
+"""Multi-modal fusion library (reference: src/models/fusion/, SURVEY.md §2.3).
+
+All strategies are first-class and selectable via ``model.fusion.type``
+(fixing the reference's dead CLI→config wiring noted in SURVEY.md §1):
+
+- ``EarlyFusion``               — channel concat + optional 1×1 projection
+- ``LateFusion``                — concat(+proj) / add / max / mean
+- ``HierarchicalLateFusion``    — one LateFusion per decoder level
+- ``AttentionFusion``           — SE-style modality softmax weighting
+- ``CrossAttentionFusion``      — multi-head cross attention over voxel
+                                  tokens, computed blockwise (flash) instead
+                                  of the reference's dense O(N²) einsum
+- ``BidirectionalCrossAttention`` — 1→2 and 2→1 cross attention + 1×1 fuse
+- ``SUVGuidedAttention``        — PET-SUV-derived soft spatial gating of CT
+                                  features
+
+Channels-last: features are ``[B, H, W, D, C]``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_organ_segmentation_tpu.models.layers import Norm3D
+from multimodal_organ_segmentation_tpu.ops.attention import multi_head_attention
+from multimodal_organ_segmentation_tpu.ops.resize import resize_linear
+
+Dtype = Any
+
+
+class EarlyFusion(nn.Module):
+    """Concat modalities along channels, optional projection
+    (reference: early_fusion.py:13-64)."""
+
+    out_channels: Optional[int] = None
+    project: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, modalities: List[jax.Array], train: bool = True) -> jax.Array:
+        x = jnp.concatenate(modalities, axis=-1)
+        if self.project:
+            out = self.out_channels or modalities[0].shape[-1]
+            x = nn.Conv(out, (1, 1, 1), dtype=self.dtype)(x)
+            x = Norm3D("instance", dtype=self.dtype)(x, train)
+            x = nn.relu(x)
+        return x
+
+
+class LateFusion(nn.Module):
+    """Combine per-modality feature maps (reference: late_fusion.py:13-77)."""
+
+    mode: str = "concat"  # concat, add, max, mean
+    out_channels: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: List[jax.Array], train: bool = True) -> jax.Array:
+        if self.mode == "concat":
+            x = jnp.concatenate(features, axis=-1)
+            out = self.out_channels or features[0].shape[-1]
+            return nn.Conv(out, (1, 1, 1), dtype=self.dtype)(x)
+        if self.mode == "add":
+            return sum(features)
+        if self.mode == "max":
+            return jnp.max(jnp.stack(features, axis=0), axis=0)
+        return jnp.mean(jnp.stack(features, axis=0), axis=0)
+
+
+class HierarchicalLateFusion(nn.Module):
+    """One LateFusion per pyramid level (reference: late_fusion.py:80-135)."""
+
+    num_levels: int
+    mode: str = "concat"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, per_level_features: List[List[jax.Array]], train: bool = True
+    ) -> List[jax.Array]:
+        return [
+            LateFusion(mode=self.mode, dtype=self.dtype, name=f"level{i}")(
+                feats, train
+            )
+            for i, feats in enumerate(per_level_features)
+        ]
+
+
+class AttentionFusion(nn.Module):
+    """SE-style modality weighting (reference: attention_fusion.py:12-74):
+    global-avg-pool each modality → concat → MLP → softmax over modalities."""
+
+    reduction: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: List[jax.Array], train: bool = True) -> jax.Array:
+        m = len(features)
+        c = features[0].shape[-1]
+        pooled = jnp.concatenate(
+            [jnp.mean(f, axis=(1, 2, 3)) for f in features], axis=-1
+        )  # [B, M*C]
+        h = nn.Dense(max(m * c // self.reduction, 1), dtype=self.dtype)(pooled)
+        h = nn.relu(h)
+        w = nn.Dense(m, dtype=self.dtype)(h)
+        w = jax.nn.softmax(w, axis=-1)  # [B, M]
+        stacked = jnp.stack(features, axis=1)  # [B, M, H, W, D, C]
+        w = w[:, :, None, None, None, None]
+        return jnp.sum(stacked * w, axis=1)
+
+
+class CrossAttentionFusion(nn.Module):
+    """Multi-head cross attention over flattened voxel tokens
+    (reference: attention_fusion.py:77-164). Query from one modality,
+    key/value from the other; residual + instance norm.
+
+    The score matrix is never materialized: tokens go through the
+    blockwise/Pallas flash path (ops/attention.py), the sequence-parallel
+    analog called for in SURVEY.md §2.10.
+    """
+
+    num_heads: int = 4
+    dropout: float = 0.0
+    kv_block: int = 2048
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query_features: jax.Array,
+        key_value_features: jax.Array,
+        train: bool = True,
+    ) -> jax.Array:
+        b, h, w, d, c = query_features.shape
+        assert c % self.num_heads == 0, "channels must divide num_heads"
+        hd = c // self.num_heads
+        n = h * w * d
+
+        q = nn.Conv(c, (1, 1, 1), dtype=self.dtype, name="q_proj")(query_features)
+        k = nn.Conv(c, (1, 1, 1), dtype=self.dtype, name="k_proj")(key_value_features)
+        v = nn.Conv(c, (1, 1, 1), dtype=self.dtype, name="v_proj")(key_value_features)
+
+        q = q.reshape(b, n, self.num_heads, hd)
+        k = k.reshape(b, n, self.num_heads, hd)
+        v = v.reshape(b, n, self.num_heads, hd)
+
+        out = multi_head_attention(q, k, v, kv_block=self.kv_block)
+        out = out.reshape(b, h, w, d, c)
+        out = nn.Conv(c, (1, 1, 1), dtype=self.dtype, name="out_proj")(out)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+
+        return Norm3D("instance", dtype=self.dtype)(query_features + out, train)
+
+
+class BidirectionalCrossAttention(nn.Module):
+    """Both directions of cross attention + 1×1 fuse
+    (reference: attention_fusion.py:167-216)."""
+
+    num_heads: int = 4
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, features_1: jax.Array, features_2: jax.Array, train: bool = True
+    ) -> jax.Array:
+        c = features_1.shape[-1]
+        a12 = CrossAttentionFusion(
+            self.num_heads, self.dropout, dtype=self.dtype, name="cross_1to2"
+        )(features_1, features_2, train)
+        a21 = CrossAttentionFusion(
+            self.num_heads, self.dropout, dtype=self.dtype, name="cross_2to1"
+        )(features_2, features_1, train)
+        x = jnp.concatenate([a12, a21], axis=-1)
+        x = nn.Conv(c, (1, 1, 1), dtype=self.dtype)(x)
+        x = Norm3D("instance", dtype=self.dtype)(x, train)
+        return nn.relu(x)
+
+
+class SUVGuidedAttention(nn.Module):
+    """PET-SUV-guided spatial attention over CT features
+    (reference: attention_fusion.py:219-295)."""
+
+    suv_threshold: float = 2.5
+    learnable_threshold: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, ct_features: jax.Array, pet_suv: jax.Array, train: bool = True
+    ) -> jax.Array:
+        c = ct_features.shape[-1]
+        if self.learnable_threshold:
+            tau = self.param(
+                "threshold", lambda k: jnp.asarray(self.suv_threshold, jnp.float32)
+            )
+        else:
+            tau = jnp.asarray(self.suv_threshold, jnp.float32)
+
+        if pet_suv.shape[1:4] != ct_features.shape[1:4]:
+            pet_suv = resize_linear(pet_suv, ct_features.shape[1:4], (1, 2, 3))
+
+        suv_mask = jax.nn.sigmoid((pet_suv.astype(jnp.float32) - tau) * 2.0).astype(
+            self.dtype
+        )
+        a = nn.Conv(16, (3, 3, 3), padding="SAME", dtype=self.dtype)(suv_mask)
+        a = nn.relu(a)
+        a = nn.Conv(1, (3, 3, 3), padding="SAME", dtype=self.dtype)(a)
+        a = jax.nn.sigmoid(a)
+
+        attended = ct_features * (1.0 + a)
+        attended = nn.Conv(c, (1, 1, 1), dtype=self.dtype)(attended)
+        return Norm3D("instance", dtype=self.dtype)(attended, train)
+
+
+FUSION_REGISTRY = {
+    "early": EarlyFusion,
+    "late": LateFusion,
+    "attention": AttentionFusion,
+    "cross_attention": CrossAttentionFusion,
+    "bidirectional": BidirectionalCrossAttention,
+    "suv_guided": SUVGuidedAttention,
+}

@@ -1,0 +1,92 @@
+"""3D UNet backbone (reference: src/models/backbones/unet.py:116-226).
+
+Encoder-decoder with skip connections; feature ladder default
+[32, 64, 128, 256, 512]; the bottleneck is excluded from skips
+(unet.py:190). Channels-last; bf16-compute-capable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_organ_segmentation_tpu.models.layers import (
+    ConvBlock3D,
+    DownBlock3D,
+    Dropout3D,
+    UpBlock3D,
+)
+
+
+class UNet3D(nn.Module):
+    """Standard 3D UNet.
+
+    Input ``[B, H, W, D, C_in]`` → logits ``[B, H, W, D, out_channels]``.
+    ``capture`` returns encoder features for explainability (the JAX
+    answer to the reference's ``return_features``, build.py:49-64).
+    """
+
+    out_channels: int = 8
+    features: Sequence[int] = (32, 64, 128, 256, 512)
+    norm: str = "instance"
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = True,
+        capture: bool = False,
+    ) -> Union[jax.Array, Tuple[jax.Array, List[jax.Array]]]:
+        feats = list(self.features)
+        x = x.astype(self.dtype)
+
+        x = ConvBlock3D(feats[0], norm=self.norm, dtype=self.dtype, name="init_conv")(
+            x, train
+        )
+        encoder_features = [x]
+
+        for i in range(len(feats) - 1):
+            x, _ = DownBlock3D(
+                feats[i + 1], norm=self.norm, dtype=self.dtype, name=f"down{i}"
+            )(x, train)
+            encoder_features.append(x)
+
+        skips = encoder_features[:-1]  # bottleneck excluded from skips
+        for j, i in enumerate(range(len(feats) - 1, 0, -1)):
+            x = UpBlock3D(
+                features=feats[i - 1],
+                up_features=feats[i] // 2,
+                norm=self.norm,
+                dtype=self.dtype,
+                name=f"up{j}",
+            )(x, skips[i - 1], train)
+
+        x = Dropout3D(self.dropout)(x, train)
+        logits = nn.Conv(
+            self.out_channels, (1, 1, 1), dtype=jnp.float32, name="out_conv"
+        )(x.astype(jnp.float32))
+
+        if capture:
+            return logits, encoder_features
+        return logits
+
+    @property
+    def encoder_channels(self) -> List[int]:
+        return list(self.features)
+
+
+def build_unet3d(config, dtype=jnp.float32) -> UNet3D:
+    """Factory from config (reference: unet.py:208-226)."""
+    backbone = config.get("model.backbone", {}) or {}
+    return UNet3D(
+        out_channels=int(config.get("model.out_channels", 8)),
+        features=tuple(backbone.get("features", [32, 64, 128, 256, 512])),
+        norm=str(backbone.get("norm", "instance")),
+        dropout=float(config.get("model.head.dropout", 0.0) or 0.0),
+        dtype=dtype,
+    )

@@ -6,15 +6,21 @@ env mutation at module import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even when a TPU is attached
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import sys
-from pathlib import Path
+import jax  # noqa: E402
+
+# The axon sitecustomize hook registers the TPU backend and pins
+# jax_platforms=axon before conftest runs; override it back to CPU.
+jax.config.update("jax_platforms", "cpu")
+
+import sys  # noqa: E402
+from pathlib import Path  # noqa: E402
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
 if str(REPO_ROOT) not in sys.path:

@@ -1,0 +1,302 @@
+"""Model tests: forward shapes for all backbones × fusion types, gradient
+finiteness, capture API, factory wiring."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_organ_segmentation_tpu.models import build_model
+from multimodal_organ_segmentation_tpu.models.unet3d import UNet3D
+from multimodal_organ_segmentation_tpu.models.dual_encoder import DualEncoder
+from multimodal_organ_segmentation_tpu.models.swin_unetr import (
+    SwinUNETR,
+    window_partition,
+    window_unpartition,
+)
+from multimodal_organ_segmentation_tpu.models import fusion as F
+from multimodal_organ_segmentation_tpu.models.heads import (
+    CenterNetHead,
+    DeepSupervisionHead,
+    DetectionHead,
+    SegmentationHead,
+)
+from multimodal_organ_segmentation_tpu.utils.config import ConfigNode
+
+
+def _init_and_run(model, x, **kwargs):
+    variables = model.init(jax.random.key(0), x, train=False)
+    return model.apply(variables, x, train=False, **kwargs), variables
+
+
+class TestUNet3D:
+    def test_forward_shape(self):
+        model = UNet3D(out_channels=5, features=(8, 16, 32))
+        x = jnp.zeros((1, 16, 16, 16, 2))
+        out, _ = _init_and_run(model, x)
+        assert out.shape == (1, 16, 16, 16, 5)
+
+    def test_capture(self):
+        model = UNet3D(out_channels=3, features=(4, 8))
+        x = jnp.zeros((1, 8, 8, 8, 1))
+        (logits, feats), _ = _init_and_run(model, x, capture=True)
+        assert logits.shape == (1, 8, 8, 8, 3)
+        assert len(feats) == 2  # init + 1 down
+        assert feats[0].shape == (1, 8, 8, 8, 4)
+        assert feats[1].shape == (1, 4, 4, 4, 8)
+
+    def test_grad_finite(self):
+        model = UNet3D(out_channels=2, features=(4, 8))
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 8, 8, 8, 1)).astype(np.float32)
+        )
+        variables = model.init(jax.random.key(0), x, train=False)
+
+        def loss(params):
+            out = model.apply({"params": params}, x, train=False)
+            return jnp.mean(out**2)
+
+        g = jax.grad(loss)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+    @pytest.mark.parametrize("norm", ["instance", "group", "none"])
+    def test_norms(self, norm):
+        model = UNet3D(out_channels=2, features=(8, 16), norm=norm)
+        x = jnp.zeros((1, 8, 8, 8, 1))
+        out, _ = _init_and_run(model, x)
+        assert out.shape == (1, 8, 8, 8, 2)
+
+
+class TestSwinUNETR:
+    def test_window_partition_roundtrip(self):
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 8, 6)))
+        w = window_partition(x, (4, 4, 4))
+        assert w.shape == (2 * 8, 64, 6)
+        back = window_unpartition(w, (4, 4, 4), (2, 8, 8, 8))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+    def test_forward_shape(self):
+        model = SwinUNETR(
+            out_channels=4, feature_size=4, depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 2, 4), window_size=(2, 2, 2),
+        )
+        x = jnp.zeros((1, 32, 32, 32, 2))
+        out, variables = _init_and_run(model, x)
+        assert out.shape == (1, 32, 32, 32, 4)
+
+    def test_capture_pyramid(self):
+        model = SwinUNETR(
+            out_channels=2, feature_size=4, depths=(1, 1, 1, 1),
+            num_heads=(1, 1, 1, 1), window_size=(2, 2, 2),
+        )
+        x = jnp.zeros((1, 32, 32, 32, 1))
+        (logits, hidden), _ = _init_and_run(model, x, capture=True)
+        assert [h.shape for h in hidden] == [
+            (1, 16, 16, 16, 4),
+            (1, 8, 8, 8, 8),
+            (1, 4, 4, 4, 16),
+            (1, 2, 2, 2, 32),
+            (1, 1, 1, 1, 64),
+        ]
+
+    def test_shifted_window_grad(self):
+        model = SwinUNETR(
+            out_channels=2, feature_size=2, depths=(2, 1, 1, 1),
+            num_heads=(1, 1, 1, 1), window_size=(2, 2, 2),
+        )
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, 32, 32, 32, 1)).astype(np.float32)
+        )
+        variables = model.init(jax.random.key(0), x, train=False)
+
+        def loss(params):
+            return jnp.mean(model.apply({"params": params}, x, train=False) ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+class TestDualEncoder:
+    @pytest.mark.parametrize(
+        "fusion_type", ["concat", "add", "attention", "cross_attention", "mean"]
+    )
+    def test_fusion_types(self, fusion_type):
+        model = DualEncoder(
+            num_modalities=2, out_channels=3, features=(4, 8), fusion_type=fusion_type
+        )
+        x = jnp.zeros((1, 8, 8, 8, 2))
+        out, _ = _init_and_run(model, x)
+        assert out.shape == (1, 8, 8, 8, 3)
+
+    def test_capture(self):
+        model = DualEncoder(num_modalities=2, out_channels=2, features=(4, 8))
+        x = jnp.zeros((1, 8, 8, 8, 2))
+        (logits, feats), _ = _init_and_run(model, x, capture=True)
+        assert len(feats["encoder_features"]) == 2
+        assert len(feats["fused_features"]) == 2
+
+
+class TestFusionModules:
+    def _feats(self, n=2, c=8):
+        rng = np.random.default_rng(0)
+        return [
+            jnp.asarray(rng.normal(size=(1, 4, 4, 4, c)).astype(np.float32))
+            for _ in range(n)
+        ]
+
+    def test_early(self):
+        m = F.EarlyFusion(out_channels=8)
+        feats = self._feats()
+        out, _ = _init_and_run_list(m, feats)
+        assert out.shape == (1, 4, 4, 4, 8)
+
+    @pytest.mark.parametrize("mode", ["concat", "add", "max", "mean"])
+    def test_late(self, mode):
+        m = F.LateFusion(mode=mode)
+        feats = self._feats()
+        out, _ = _init_and_run_list(m, feats)
+        assert out.shape == (1, 4, 4, 4, 8)
+
+    def test_attention(self):
+        m = F.AttentionFusion()
+        feats = self._feats()
+        out, _ = _init_and_run_list(m, feats)
+        assert out.shape == (1, 4, 4, 4, 8)
+
+    def test_cross_attention(self):
+        m = F.CrossAttentionFusion(num_heads=2)
+        f1, f2 = self._feats()
+        variables = m.init(jax.random.key(0), f1, f2, train=False)
+        out = m.apply(variables, f1, f2, train=False)
+        assert out.shape == f1.shape
+
+    def test_bidirectional(self):
+        m = F.BidirectionalCrossAttention(num_heads=2)
+        f1, f2 = self._feats()
+        variables = m.init(jax.random.key(0), f1, f2, train=False)
+        out = m.apply(variables, f1, f2, train=False)
+        assert out.shape == f1.shape
+
+    def test_suv_guided(self):
+        m = F.SUVGuidedAttention()
+        ct = self._feats(1)[0]
+        pet = jnp.abs(self._feats(1, c=1)[0]) * 5
+        variables = m.init(jax.random.key(0), ct, pet, train=False)
+        out = m.apply(variables, ct, pet, train=False)
+        assert out.shape == ct.shape
+
+    def test_suv_guided_resize(self):
+        m = F.SUVGuidedAttention()
+        ct = self._feats(1)[0]
+        pet = jnp.ones((1, 8, 8, 8, 1))  # finer grid than features
+        variables = m.init(jax.random.key(0), ct, pet, train=False)
+        out = m.apply(variables, ct, pet, train=False)
+        assert out.shape == ct.shape
+
+    def test_hierarchical_late(self):
+        m = F.HierarchicalLateFusion(num_levels=2, mode="add")
+        levels = [self._feats(), self._feats()]
+        variables = m.init(jax.random.key(0), levels, train=False)
+        outs = m.apply(variables, levels, train=False)
+        assert len(outs) == 2
+
+
+def _init_and_run_list(model, feats):
+    variables = model.init(jax.random.key(0), feats, train=False)
+    return model.apply(variables, feats, train=False), variables
+
+
+class TestHeads:
+    def test_segmentation_head(self):
+        m = SegmentationHead(num_classes=5, dropout=0.1)
+        x = jnp.zeros((1, 4, 4, 4, 8))
+        out, _ = _init_and_run(m, x)
+        assert out.shape == (1, 4, 4, 4, 5)
+
+    def test_segmentation_softmax(self):
+        m = SegmentationHead(num_classes=3, activation="softmax")
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 4, 4, 8)))
+        out, _ = _init_and_run(m, x)
+        np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, atol=1e-5)
+
+    def test_deep_supervision(self):
+        m = DeepSupervisionHead(num_classes=4, target_size=(8, 8, 8))
+        feats = [jnp.zeros((1, 8, 8, 8, 8)), jnp.zeros((1, 4, 4, 4, 16))]
+        variables = m.init(jax.random.key(0), feats, train=False)
+        outs = m.apply(variables, feats, train=False)
+        assert all(o.shape == (1, 8, 8, 8, 4) for o in outs)
+
+    def test_detection_head(self):
+        m = DetectionHead(num_classes=2, num_anchors=3)
+        x = jnp.zeros((1, 4, 4, 4, 8))
+        out, _ = _init_and_run(m, x)
+        assert out["cls"].shape == (1, 4, 4, 4, 6)
+        assert out["reg"].shape == (1, 4, 4, 4, 18)
+
+    def test_centernet_head(self):
+        m = CenterNetHead(num_classes=2)
+        x = jnp.zeros((1, 4, 4, 4, 8))
+        out, _ = _init_and_run(m, x)
+        assert out["heatmap"].shape == (1, 4, 4, 4, 2)
+        assert out["offset"].shape == (1, 4, 4, 4, 3)
+        assert out["size"].shape == (1, 4, 4, 4, 3)
+        h = np.asarray(out["heatmap"])
+        assert (h >= 0).all() and (h <= 1).all()
+
+
+class TestBuildModel:
+    def _cfg(self, name, **kw):
+        return ConfigNode(
+            {
+                "data": {"modalities": ["CT", "PET"]},
+                "model": {
+                    "name": name,
+                    "out_channels": 4,
+                    "backbone": {
+                        "features": [4, 8],
+                        "feature_size": 4,
+                        "depths": [1, 1, 1, 1],
+                        "num_heads": [1, 1, 1, 1],
+                        "window_size": [2, 2, 2],
+                        **kw,
+                    },
+                    "fusion": {"type": "concat"},
+                    "head": {"dropout": 0.0},
+                },
+                "hardware": {"mixed_precision": "none"},
+            }
+        )
+
+    @pytest.mark.parametrize("name", ["unet3d", "unet", "dual_encoder"])
+    def test_registry_conv_models(self, name):
+        model = build_model(self._cfg(name))
+        x = jnp.zeros((1, 8, 8, 8, 2))
+        variables = model.init(jax.random.key(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (1, 8, 8, 8, 4)
+
+    def test_registry_swin(self):
+        model = build_model(self._cfg("swin_unetr"))
+        x = jnp.zeros((1, 32, 32, 32, 2))
+        variables = model.init(jax.random.key(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (1, 32, 32, 32, 4)
+
+    def test_unknown_model(self):
+        with pytest.raises(ValueError, match="Unknown model"):
+            build_model(self._cfg("nope"))
+
+    def test_bf16_policy(self):
+        cfg = self._cfg("unet3d")
+        cfg.set("hardware.mixed_precision", "bf16")
+        model = build_model(cfg)
+        x = jnp.zeros((1, 8, 8, 8, 2))
+        variables = model.init(jax.random.key(0), x, train=False)
+        # params stay fp32, output logits fp32
+        leaves = jax.tree_util.tree_leaves(variables["params"])
+        assert all(l.dtype == jnp.float32 for l in leaves)
+        out = model.apply(variables, x, train=False)
+        assert out.dtype == jnp.float32

@@ -1,0 +1,173 @@
+"""Tests for resize (scipy parity), attention, sliding-window inference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_organ_segmentation_tpu.ops.resize import (
+    resize_linear,
+    resize_nearest,
+    resize_volume,
+)
+from multimodal_organ_segmentation_tpu.ops.attention import (
+    blockwise_attention,
+    dense_attention,
+)
+from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+    gaussian_importance_map,
+    sliding_window_inference,
+    _scan_starts,
+)
+
+
+class TestResize:
+    @pytest.mark.parametrize("out_shape", [(8, 10, 12), (3, 4, 5), (7, 7, 7)])
+    def test_linear_matches_scipy(self, out_shape):
+        from scipy.ndimage import zoom
+
+        rng = np.random.default_rng(0)
+        vol = rng.normal(size=(5, 6, 7)).astype(np.float32)
+        factors = [o / i for o, i in zip(out_shape, vol.shape)]
+        ref = zoom(vol, factors, order=1)
+        assert ref.shape == out_shape
+        ours = np.asarray(resize_linear(jnp.asarray(vol), out_shape))
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    @pytest.mark.parametrize("out_shape", [(8, 10, 12), (3, 4, 5)])
+    def test_nearest_matches_scipy(self, out_shape):
+        from scipy.ndimage import zoom
+
+        rng = np.random.default_rng(1)
+        vol = rng.integers(0, 8, size=(5, 6, 7)).astype(np.int32)
+        factors = [o / i for o, i in zip(out_shape, vol.shape)]
+        ref = zoom(vol, factors, order=0)
+        ours = np.asarray(resize_nearest(jnp.asarray(vol), out_shape))
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_identity(self):
+        vol = np.random.default_rng(2).normal(size=(4, 5, 6)).astype(np.float32)
+        out = np.asarray(resize_volume(jnp.asarray(vol), (4, 5, 6)))
+        np.testing.assert_allclose(out, vol, atol=1e-6)
+
+    def test_batched_channels(self):
+        vol = np.random.default_rng(3).normal(size=(2, 8, 8, 8, 3)).astype(np.float32)
+        out = resize_linear(jnp.asarray(vol), (4, 4, 4), spatial_axes=(1, 2, 3))
+        assert out.shape == (2, 4, 4, 4, 3)
+
+
+class TestAttention:
+    def test_blockwise_equals_dense(self):
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(2, 100, 4, 16)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 100, 4, 16)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 100, 4, 16)).astype(np.float32))
+        dense = dense_attention(q, k, v)
+        block = blockwise_attention(q, k, v, kv_block=32)
+        np.testing.assert_allclose(np.asarray(block), np.asarray(dense), atol=1e-5)
+
+    def test_blockwise_nondivisible(self):
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(1, 37, 2, 8)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 53, 2, 8)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 53, 2, 8)).astype(np.float32))
+        dense = dense_attention(q, k, v)
+        block = blockwise_attention(q, k, v, kv_block=16)
+        np.testing.assert_allclose(np.asarray(block), np.asarray(dense), atol=1e-5)
+
+    def test_torch_parity(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(2)
+        q = rng.normal(size=(1, 24, 2, 8)).astype(np.float32)
+        k = rng.normal(size=(1, 24, 2, 8)).astype(np.float32)
+        v = rng.normal(size=(1, 24, 2, 8)).astype(np.float32)
+        # reference semantics (attention_fusion.py:144-155): bhdn layout
+        qt = torch.tensor(q).permute(0, 2, 3, 1)  # [b,h,d,n]
+        kt = torch.tensor(k).permute(0, 2, 3, 1)
+        vt = torch.tensor(v).permute(0, 2, 3, 1)
+        scale = 8 ** -0.5
+        attn = torch.einsum("bhdn,bhdm->bhnm", qt, kt) * scale
+        attn = torch.softmax(attn, dim=-1)
+        ref = torch.einsum("bhnm,bhdm->bhdn", attn, vt).permute(0, 3, 1, 2).numpy()
+        ours = np.asarray(dense_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+class TestSlidingWindow:
+    def test_scan_starts(self):
+        # dim <= roi -> single tile at 0
+        assert _scan_starts(8, 16, 0.5) == [0]
+        # 32 long, roi 16, overlap .5 -> interval 8, starts 0..16
+        assert _scan_starts(32, 16, 0.5) == [0, 8, 16]
+        # non-divisible: final start clamped to dim - roi
+        assert _scan_starts(30, 16, 0.5) == [0, 8, 14]
+
+    def test_gaussian_map(self):
+        g = gaussian_importance_map((16, 16, 16))
+        assert g.shape == (16, 16, 16)
+        assert g.max() == pytest.approx(1.0)
+        assert g.min() > 0
+        # symmetric and peaked in the center region (even size: two centers)
+        assert g[7, 7, 7] == pytest.approx(g[8, 8, 8], rel=1e-5)
+
+    def test_equals_whole_volume_when_single_tile(self):
+        """Volume == roi: sliding window must equal direct forward."""
+        rng = np.random.default_rng(0)
+        vol = jnp.asarray(rng.normal(size=(16, 16, 16, 2)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(2, 5)).astype(np.float32))
+
+        def predict(patches):
+            return jnp.einsum("nhwdc,ck->nhwdk", patches, w)
+
+        out = sliding_window_inference(
+            vol, predict, roi_size=(16, 16, 16), num_classes=5
+        )
+        ref = predict(vol[None])[0]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_linear_model_tiling_invariance(self):
+        """For a voxel-wise (tiling-invariant) model, blended output equals
+        the direct forward regardless of tile layout."""
+        rng = np.random.default_rng(1)
+        vol = jnp.asarray(rng.normal(size=(24, 20, 28, 2)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32))
+
+        def predict(patches):
+            return jnp.einsum("nhwdc,ck->nhwdk", patches, w)
+
+        for mode in ("gaussian", "constant"):
+            out = sliding_window_inference(
+                vol, predict, roi_size=(16, 16, 16), num_classes=4,
+                overlap=0.5, sw_batch_size=3, mode=mode,
+            )
+            ref = predict(vol[None])[0]
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=1e-4,
+                err_msg=f"mode={mode}",
+            )
+
+    def test_batched_volume(self):
+        rng = np.random.default_rng(2)
+        vol = jnp.asarray(rng.normal(size=(2, 20, 20, 20, 1)).astype(np.float32))
+
+        def predict(patches):
+            return jnp.concatenate([patches, -patches], axis=-1)
+
+        out = sliding_window_inference(
+            vol, predict, roi_size=(16, 16, 16), num_classes=2
+        )
+        assert out.shape == (2, 20, 20, 20, 2)
+
+    def test_small_volume_padding(self):
+        """Volume smaller than roi gets padded and unpadded correctly."""
+        rng = np.random.default_rng(3)
+        vol = jnp.asarray(rng.normal(size=(10, 12, 9, 1)).astype(np.float32))
+
+        def predict(patches):
+            return patches * 2.0
+
+        out = sliding_window_inference(
+            vol, predict, roi_size=(16, 16, 16), num_classes=1
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(vol) * 2.0, atol=1e-5)
