@@ -1,0 +1,250 @@
+"""CLI: five modes (preprocess / train / eval / inference / analysis).
+
+Reference parity: main.py:41-549 — same mode vocabulary, flags, and
+config-override surface, plus an ``explain`` mode that actually wires the
+explainability tools (the reference declares them in config but never
+invokes them — SURVEY.md §1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+from multimodal_organ_segmentation_tpu.utils.config import (
+    load_config,
+    merge_config_with_args,
+)
+from multimodal_organ_segmentation_tpu.utils.logger import setup_logger
+from multimodal_organ_segmentation_tpu.utils.prng import set_seed
+
+_DEFAULT_CONFIG = str(Path(__file__).resolve().parents[1] / "configs" / "default.yaml")
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        description="TPU-native multi-modal medical image segmentation",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    parser.add_argument(
+        "--mode", required=True,
+        choices=["train", "eval", "inference", "preprocess", "analysis", "explain"],
+    )
+    parser.add_argument("--config", default=_DEFAULT_CONFIG)
+    parser.add_argument("--exp-name", dest="exp_name", default=None)
+    parser.add_argument("--output-dir", dest="output_dir", default=None)
+    parser.add_argument("--input", default=None)
+    parser.add_argument("--output", default=None)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--resume", default=None)
+    parser.add_argument("--device", default=None, choices=["tpu", "cpu"])
+    parser.add_argument("--num-workers", dest="num_workers", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch-size", dest="batch_size", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument(
+        "--model", default=None,
+        choices=["swin_unetr", "unet", "unet3d", "attention_unet", "dual_encoder"],
+    )
+    parser.add_argument(
+        "--fusion", default=None,
+        choices=["early", "late", "attention", "cross_attention"],
+    )
+    parser.add_argument("--modalities", nargs="+", default=None)
+    parser.add_argument("--suv-analysis", dest="suv_analysis", action="store_true")
+    parser.add_argument("--tmtv-analysis", dest="tmtv_analysis", action="store_true")
+    parser.add_argument("--histogram", action="store_true")
+    parser.add_argument("--generate-report", dest="generate_report", action="store_true")
+    parser.add_argument("--gradcam", action="store_true")
+    parser.add_argument("--attention-maps", dest="attention_maps", action="store_true")
+    parser.add_argument("--tsne", action="store_true")
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--verbose", "-v", action="store_true")
+    parser.add_argument("--debug", action="store_true")
+    return parser.parse_args(argv)
+
+
+def run_train(config, logger) -> None:
+    from multimodal_organ_segmentation_tpu.data import get_dataloader
+    from multimodal_organ_segmentation_tpu.train.trainer import Trainer
+
+    logger.info("Starting training pipeline")
+    logger.info(f"Experiment: {config.get('experiment.name')}")
+
+    train_loader = get_dataloader(config, split="train")
+    val_loader = get_dataloader(config, split="val")
+    trainer = Trainer(
+        config,
+        train_loader=train_loader,
+        val_loader=val_loader,
+        logger=logger,
+        resume_from=config["_args"].get("resume"),
+    )
+    trainer.train()
+    logger.info("Training completed")
+
+
+def run_eval(config, logger) -> None:
+    from multimodal_organ_segmentation_tpu.data import get_dataloader
+    from multimodal_organ_segmentation_tpu.train.trainer import Trainer
+
+    ckpt = config["_args"].get("checkpoint")
+    if ckpt is None:
+        raise ValueError("--checkpoint is required for evaluation mode")
+
+    logger.info(f"Evaluating checkpoint: {ckpt}")
+    test_loader = get_dataloader(config, split="test")
+    trainer = Trainer(config, val_loader=test_loader, logger=logger)
+    first = next(iter(test_loader))
+    import numpy as np
+
+    trainer.init_state(np.asarray(first["image"][0]))
+    trainer.load_params(ckpt)
+    metrics = trainer.evaluate()
+    logger.info(f"Results: {metrics}")
+
+
+def run_inference(config, logger) -> None:
+    from multimodal_organ_segmentation_tpu.train.trainer import Trainer
+
+    ckpt = config["_args"].get("checkpoint")
+    input_path = config["_args"].get("input")
+    output_path = config["_args"].get("output") or "outputs/predictions"
+    if ckpt is None:
+        raise ValueError("--checkpoint is required for inference mode")
+    if input_path is None:
+        raise ValueError("--input is required for inference mode")
+
+    logger.info(f"Inference: {input_path} → {output_path}")
+    trainer = Trainer(config, logger=logger)
+    import numpy as np
+
+    roi = tuple(config.get("inference.sliding_window.roi_size", [96, 96, 96]))
+    n_mod = len(config.get("data.modalities", ["CT", "PET"]))
+    trainer.init_state(np.zeros((*roi, n_mod), np.float32))
+    trainer.load_params(ckpt)
+    trainer.predict(input_path, output_path)
+    logger.info("Inference completed")
+
+
+def run_preprocess(config, logger) -> None:
+    from multimodal_organ_segmentation_tpu.preprocessing import (
+        DicomConverter,
+        ImageRegistration,
+        SUVCalculator,
+    )
+
+    input_path = config["_args"].get("input")
+    output_path = config["_args"].get("output") or "data/processed"
+    if input_path is None:
+        raise ValueError("--input is required for preprocess mode")
+
+    logger.info(f"Preprocess: {input_path} → {output_path}")
+    os.makedirs(output_path, exist_ok=True)
+    converter = DicomConverter(config)
+    suv_calc = SUVCalculator(config)
+    registrator = ImageRegistration(config)
+
+    modalities = list(config.get("data.modalities", ["CT", "PET"]))
+    for modality in modalities:
+        mod_in = os.path.join(input_path, modality)
+        mod_out = os.path.join(output_path, modality)
+        if os.path.exists(mod_in):
+            logger.info(f"Processing {modality}")
+            converter.convert(mod_in, mod_out, modality=modality)
+            if modality == "PET":
+                suv_calc.calculate(mod_in, mod_out)
+
+    if len(modalities) > 1 and bool(config.get("data.registration.enabled", False)):
+        logger.info("Registering images")
+        registrator.register(output_path, config.get("data.primary_modality", "CT"))
+    logger.info("Preprocessing completed")
+
+
+def run_analysis(config, logger) -> None:
+    from multimodal_organ_segmentation_tpu.analysis import (
+        HistogramAnalyzer,
+        ReportGenerator,
+        SUVAnalyzer,
+        TMTVAnalyzer,
+    )
+
+    input_path = config["_args"].get("input")
+    output_path = config["_args"].get("output") or "outputs/analysis"
+    if input_path is None:
+        raise ValueError("--input is required for analysis mode")
+
+    logger.info(f"Analysis: {input_path} → {output_path}")
+    os.makedirs(output_path, exist_ok=True)
+    results = {}
+    if bool(config.get("analysis.suv.enabled", False)):
+        results["suv"] = SUVAnalyzer(config).analyze(input_path, output_path)
+    if bool(config.get("analysis.tmtv.enabled", False)):
+        results["tmtv"] = TMTVAnalyzer(config).analyze(input_path, output_path)
+    if bool(config.get("analysis.histogram.enabled", False)):
+        results["histogram"] = HistogramAnalyzer(config).analyze(
+            input_path, output_path
+        )
+    if config["_args"].get("generate_report", False):
+        ReportGenerator(config).generate(results, output_path)
+    logger.info("Analysis completed")
+
+
+def run_explain(config, logger) -> None:
+    from multimodal_organ_segmentation_tpu.explainability import run_explainability
+
+    ckpt = config["_args"].get("checkpoint")
+    input_path = config["_args"].get("input")
+    output_path = config["_args"].get("output") or "outputs/explain"
+    if ckpt is None or input_path is None:
+        raise ValueError("--checkpoint and --input are required for explain mode")
+    run_explainability(config, ckpt, input_path, output_path, logger)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    config = load_config(args.config)
+    config = merge_config_with_args(config, args)
+
+    platform = args.device or str(config.get("hardware.platform", "") or "")
+    if platform == "cpu":
+        # must beat the axon sitecustomize hook, which pins jax_platforms=tpu
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    log_dir = Path(config.get("experiment.log_dir", "logs")) / str(
+        config.get("experiment.name", "exp")
+    )
+    logger = setup_logger(
+        name="main",
+        log_file=str(log_dir / f"{args.mode}.log"),
+        level="DEBUG" if args.debug else "INFO",
+    )
+    set_seed(int(config.get("experiment.seed", 42)))
+
+    logger.info(f"Mode: {args.mode}")
+    logger.info(f"Config: {args.config}")
+
+    runners = {
+        "train": run_train,
+        "eval": run_eval,
+        "inference": run_inference,
+        "preprocess": run_preprocess,
+        "analysis": run_analysis,
+        "explain": run_explain,
+    }
+    try:
+        runners[args.mode](config, logger)
+    except KeyboardInterrupt:
+        logger.warning("Interrupted by user")
+        sys.exit(1)
+    except Exception as e:
+        logger.error(f"Error: {e}", exc_info=True)
+        raise
+
+
+if __name__ == "__main__":
+    main()

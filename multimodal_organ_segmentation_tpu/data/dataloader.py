@@ -1,0 +1,147 @@
+"""Host loader: shuffling, threaded sample loading, batching, device prefetch.
+
+Replaces the reference's torch DataLoader (src/data/dataloader.py:14-60)
+with a JAX-idiomatic design: worker threads decode+transform samples, a
+bounded prefetch queue overlaps host IO with device compute, and batches
+are stacked numpy arrays ready for ``jax.device_put`` (sharded by the
+trainer when a mesh is active). Also provides the pad-to-max collate the
+reference defines (dataloader.py:63-126).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+
+def pad_tensors(arrays: List[np.ndarray], pad_value: float = 0.0) -> np.ndarray:
+    """Pad variable-size arrays to the elementwise max shape and stack."""
+    ndim = arrays[0].ndim
+    max_shape = [max(a.shape[i] for a in arrays) for i in range(ndim)]
+    out = []
+    for a in arrays:
+        pad = [(0, m - s) for s, m in zip(a.shape, max_shape)]
+        out.append(np.pad(a, pad, constant_values=pad_value))
+    return np.stack(out, axis=0)
+
+
+def collate_fn(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack samples into a batch; pads on shape mismatch
+    (reference: dataloader.py:63-126)."""
+    batch: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        first = vals[0]
+        if hasattr(first, "shape") and hasattr(first, "dtype"):
+            vals = [np.asarray(v) for v in vals]
+            if len({v.shape for v in vals}) == 1:
+                batch[key] = np.stack(vals, axis=0)
+            else:
+                batch[key] = pad_tensors(vals)
+        else:
+            batch[key] = vals
+    return batch
+
+
+class DataLoader:
+    """Iterable over batches with worker-threaded loading and prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        seed: int = 0,
+        collate=collate_fn,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(0, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.collate = collate
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> List[np.ndarray]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        batches = [
+            idx[i : i + self.batch_size]
+            for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        self._epoch += 1
+        batches = self._index_batches()
+
+        if self.num_workers == 0:
+            for b in batches:
+                yield self.collate([self.dataset[int(i)] for i in b])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for b in batches:
+                        samples = list(pool.map(self.dataset.__getitem__, [int(i) for i in b]))
+                        q.put(self.collate(samples))
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+        t.join()
+
+
+def get_dataloader(config, split: str = "train", transform=None) -> DataLoader:
+    """Loader factory (reference: dataloader.py:14-60): batch size from
+    training config; shuffle/drop_last only for train."""
+    from multimodal_organ_segmentation_tpu.data.dataset import get_dataset
+    from multimodal_organ_segmentation_tpu.data.transforms import get_transforms
+
+    if transform is None:
+        transform = get_transforms(config, mode=split)
+    dataset = get_dataset(config, split=split, transform=transform)
+    is_train = split == "train"
+    return DataLoader(
+        dataset,
+        batch_size=int(config.get("training.batch_size", 2)),
+        shuffle=is_train,
+        drop_last=is_train,
+        num_workers=int(config.get("hardware.num_workers", 4)),
+        prefetch=int(config.get("hardware.prefetch_depth", 2)),
+        seed=int(config.get("experiment.seed", 42)),
+    )

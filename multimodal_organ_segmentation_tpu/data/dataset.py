@@ -1,0 +1,131 @@
+"""Datasets: CSV-driven multimodal training data + label-free inference data.
+
+Reference parity (src/data/dataset.py):
+
+- ``MultiModalDataset`` (dataset.py:19-117): CSV with columns
+  ``patient_id``, one per modality (NIfTI path), ``label``; loads each
+  modality, stacks to channels-last ``[H, W, D, C]`` float32, label
+  ``[H, W, D]`` int32; sample dict {image, label, patient_id, affine}.
+- ``InferenceDataset`` (dataset.py:120-176): built from
+  ``{modality: [paths]}`` without labels.
+
+Host-side numpy only — device work happens in the transform pipeline and
+the loader's prefetch.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from multimodal_organ_segmentation_tpu.utils.io import load_nifti
+
+
+class MultiModalDataset:
+    """CSV-driven multi-modality segmentation dataset."""
+
+    def __init__(
+        self,
+        csv_path,
+        data_root,
+        modalities: Sequence[str],
+        transform=None,
+    ):
+        import pandas as pd
+
+        self.data_root = Path(data_root)
+        self.modalities = list(modalities)
+        self.transform = transform
+        self.df = pd.read_csv(csv_path)
+
+        missing = [
+            c for c in ["patient_id", "label", *self.modalities] if c not in self.df.columns
+        ]
+        if missing:
+            raise ValueError(f"dataset CSV missing columns: {missing}")
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def _resolve(self, p: str) -> Path:
+        path = Path(p)
+        return path if path.is_absolute() else self.data_root / path
+
+    def load_raw(self, idx: int) -> Dict[str, Any]:
+        row = self.df.iloc[idx]
+        channels = []
+        affine = None
+        for mod in self.modalities:
+            vol, aff = load_nifti(self._resolve(row[mod]), return_affine=True)
+            channels.append(vol.astype(np.float32))
+            if affine is None:
+                affine = aff
+        image = np.stack(channels, axis=-1)  # [H, W, D, C]
+        label = load_nifti(self._resolve(row["label"]), dtype=np.int32)
+        return {
+            "image": image,
+            "label": label.astype(np.int32),
+            "patient_id": str(row["patient_id"]),
+            "affine": affine,
+        }
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        sample = self.load_raw(idx)
+        if self.transform is not None:
+            sample = self.transform(sample)
+        return sample
+
+
+class InferenceDataset:
+    """Label-free dataset from explicit per-modality path lists."""
+
+    def __init__(
+        self,
+        modality_paths: Dict[str, List],
+        transform=None,
+    ):
+        self.modalities = list(modality_paths.keys())
+        lengths = {len(v) for v in modality_paths.values()}
+        if len(lengths) != 1:
+            raise ValueError("all modalities must have the same number of cases")
+        self.paths = modality_paths
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(next(iter(self.paths.values())))
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        channels = []
+        affine = None
+        for mod in self.modalities:
+            vol, aff = load_nifti(self.paths[mod][idx], return_affine=True)
+            channels.append(vol.astype(np.float32))
+            if affine is None:
+                affine = aff
+        sample: Dict[str, Any] = {
+            "image": np.stack(channels, axis=-1),
+            "patient_id": Path(str(self.paths[self.modalities[0]][idx])).stem.split(".")[0],
+            "affine": affine,
+        }
+        if self.transform is not None:
+            sample = self.transform(sample)
+        return sample
+
+
+def get_dataset(config, split: str = "train", transform=None) -> MultiModalDataset:
+    """Dataset factory (reference: dataset.py:179-217)."""
+    data_cfg = config.get("data", {})
+    data_root = data_cfg.get("data_root", "./data")
+    csv_name = data_cfg.get(f"{split}_csv", f"{split}.csv")
+    csv_path = Path(csv_name)
+    if not csv_path.is_absolute():
+        csv_path = Path(data_root) / csv_name
+    return MultiModalDataset(
+        csv_path=csv_path,
+        data_root=data_root,
+        modalities=data_cfg.get("modalities", ["CT", "PET"]),
+        transform=transform,
+    )

@@ -1,0 +1,263 @@
+"""Transform graph: modality normalization, augmentation, resize — all jit.
+
+Reference parity (src/data/transforms.py):
+
+- ``ModalitySpecificNormalize`` (transforms.py:362-404): CT window
+  (center/width → clip → [0,1]); PET divide-by-max; MRI/US z-score.
+- train augs (transforms.py:407-451): RandomFlip(p=.5/axis),
+  RandomRotate90 xy-plane (p=.5, k∈1..3), RandomIntensityShift
+  (±random_intensity, scale 0.9-1.1, p=.3, per-channel),
+  RandomGaussianNoise (std .05, p=.2).
+- always Resize to backbone img_size (whole-volume, scipy order-1 image /
+  order-0 label semantics via ops.resize).
+
+TPU design: one pure function ``(sample, key) → sample`` compiled per
+input shape; randomness is explicit JAX PRNG (no global RNG). Layout is
+channels-last: image ``[H, W, D, C]``, label ``[H, W, D]``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_organ_segmentation_tpu.ops.resize import resize_linear, resize_nearest
+
+Sample = Dict[str, jax.Array]
+
+
+# ---------------------------------------------------------------------------
+# deterministic transforms
+# ---------------------------------------------------------------------------
+
+def modality_normalize(
+    image: jax.Array, modalities: Sequence[str], preprocess_cfg: Dict[str, Any]
+) -> jax.Array:
+    """Per-channel modality-specific normalization."""
+    channels = []
+    for c, modality in enumerate(modalities):
+        mod_cfg = dict(preprocess_cfg.get(modality.lower(), {}) or {})
+        ch = image[..., c]
+        if modality == "CT":
+            center = float(mod_cfg.get("window_center", 0))
+            width = float(mod_cfg.get("window_width", 400))
+            lo, hi = center - width / 2, center + width / 2
+            ch = jnp.clip(ch, lo, hi)
+            ch = (ch - lo) / (hi - lo)
+        elif modality == "PET":
+            if mod_cfg.get("normalize", True):
+                mx = jnp.max(ch)
+                ch = jnp.where(mx > 0, ch / mx, ch)
+        elif modality in ("MRI", "US"):
+            if mod_cfg.get("normalize", True):
+                mean = jnp.mean(ch)
+                std = jnp.std(ch) + 1e-8
+                ch = (ch - mean) / std
+        channels.append(ch)
+    return jnp.stack(channels, axis=-1)
+
+
+def resize_sample(sample: Sample, size: Tuple[int, int, int]) -> Sample:
+    """Resize image (linear) and label (nearest) to ``size``."""
+    out = dict(sample)
+    out["image"] = resize_linear(sample["image"], size, spatial_axes=(0, 1, 2))
+    if "label" in sample:
+        out["label"] = resize_nearest(sample["label"], size, spatial_axes=(0, 1, 2))
+    return out
+
+
+def center_crop(sample: Sample, size: Tuple[int, int, int]) -> Sample:
+    """Static center crop (reference: transforms.py:184-212)."""
+    img = sample["image"]
+    starts = [max(0, (img.shape[i] - size[i]) // 2) for i in range(3)]
+    out = dict(sample)
+    out["image"] = jax.lax.dynamic_slice(
+        img,
+        (starts[0], starts[1], starts[2], 0),
+        (size[0], size[1], size[2], img.shape[-1]),
+    )
+    if "label" in sample:
+        out["label"] = jax.lax.dynamic_slice(
+            sample["label"], tuple(starts), tuple(size)
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# random transforms (explicit keys)
+# ---------------------------------------------------------------------------
+
+def random_flip(sample: Sample, key: jax.Array, prob: float = 0.5) -> Sample:
+    """Independent flip of each spatial axis with probability ``prob``."""
+    image, label = sample["image"], sample.get("label")
+    coins = jax.random.uniform(key, (3,)) < prob
+    for axis in range(3):
+        image = jnp.where(coins[axis], jnp.flip(image, axis=axis), image)
+        if label is not None:
+            label = jnp.where(coins[axis], jnp.flip(label, axis=axis), label)
+    out = dict(sample)
+    out["image"] = image
+    if label is not None:
+        out["label"] = label
+    return out
+
+
+def random_rotate90(sample: Sample, key: jax.Array, prob: float = 0.5) -> Sample:
+    """Random 90° rotation in the HW plane, k ∈ {1,2,3}.
+
+    Requires H == W for shape-static jit (reference operates on resized
+    cubes; the reference's numpy version allows H≠W but is only used on
+    cubes in practice).
+    """
+    image, label = sample["image"], sample.get("label")
+    k_key, p_key = jax.random.split(key)
+    apply = jax.random.uniform(p_key) < prob
+    k = jax.random.randint(k_key, (), 1, 4)
+
+    def rot(x, axes):
+        return jax.lax.switch(
+            k - 1,
+            [
+                lambda a: jnp.rot90(a, 1, axes=axes),
+                lambda a: jnp.rot90(a, 2, axes=axes),
+                lambda a: jnp.rot90(a, 3, axes=axes),
+            ],
+            x,
+        )
+
+    image = jnp.where(apply, rot(image, (0, 1)), image)
+    if label is not None:
+        label = jnp.where(apply, rot(label, (0, 1)), label)
+    out = dict(sample)
+    out["image"] = image
+    if label is not None:
+        out["label"] = label
+    return out
+
+
+def random_intensity_shift(
+    sample: Sample,
+    key: jax.Array,
+    shift_range: Tuple[float, float] = (-0.1, 0.1),
+    scale_range: Tuple[float, float] = (0.9, 1.1),
+    prob: float = 0.5,
+) -> Sample:
+    """Per-channel multiplicative scale + additive shift."""
+    image = sample["image"]
+    c = image.shape[-1]
+    p_key, sh_key, sc_key = jax.random.split(key, 3)
+    apply = jax.random.uniform(p_key) < prob
+    shift = jax.random.uniform(
+        sh_key, (c,), minval=shift_range[0], maxval=shift_range[1]
+    )
+    scale = jax.random.uniform(
+        sc_key, (c,), minval=scale_range[0], maxval=scale_range[1]
+    )
+    shifted = image * scale + shift
+    out = dict(sample)
+    out["image"] = jnp.where(apply, shifted, image)
+    return out
+
+
+def random_gaussian_noise(
+    sample: Sample,
+    key: jax.Array,
+    mean: float = 0.0,
+    std: float = 0.1,
+    prob: float = 0.5,
+) -> Sample:
+    image = sample["image"]
+    p_key, n_key = jax.random.split(key)
+    apply = jax.random.uniform(p_key) < prob
+    noise = mean + std * jax.random.normal(n_key, image.shape, dtype=image.dtype)
+    out = dict(sample)
+    out["image"] = jnp.where(apply, image + noise, image)
+    return out
+
+
+def random_crop(
+    sample: Sample, key: jax.Array, size: Tuple[int, int, int]
+) -> Sample:
+    """Random spatial crop to ``size`` (reference: transforms.py:142-181)."""
+    img = sample["image"]
+    maxs = [max(0, img.shape[i] - size[i]) for i in range(3)]
+    keys = jax.random.split(key, 3)
+    starts = [
+        jax.random.randint(keys[i], (), 0, maxs[i] + 1) for i in range(3)
+    ]
+    out = dict(sample)
+    out["image"] = jax.lax.dynamic_slice(
+        img, (starts[0], starts[1], starts[2], 0), (*size, img.shape[-1])
+    )
+    if "label" in sample:
+        out["label"] = jax.lax.dynamic_slice(
+            sample["label"], tuple(starts), tuple(size)
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+class TransformPipeline:
+    """Composed jit transform ``(sample, key) → sample``.
+
+    Compiled once per distinct input shape (medical cohorts have few).
+    """
+
+    def __init__(self, fn: Callable[[Sample, jax.Array], Sample]):
+        self._fn = jax.jit(fn)
+
+    _ARRAY_KEYS = ("image", "label")
+
+    def __call__(self, sample: Sample, key: Optional[jax.Array] = None) -> Sample:
+        if key is None:
+            key = jax.random.key(0)
+        arrays = {
+            k: jnp.asarray(v) for k, v in sample.items() if k in self._ARRAY_KEYS
+        }
+        out = dict(sample)  # metadata (patient_id, affine, ...) passes through
+        out.update(self._fn(arrays, key))
+        return out
+
+
+def get_transforms(config, mode: str = "train") -> TransformPipeline:
+    """Build the transform pipeline (reference: transforms.py:407-451)."""
+    modalities = list(config.get("data.modalities", ["CT", "PET"]))
+    preprocess_cfg = config.get("data.preprocessing", {}) or {}
+    preprocess_cfg = (
+        preprocess_cfg.to_dict() if hasattr(preprocess_cfg, "to_dict") else dict(preprocess_cfg)
+    )
+    aug = config.get("data.augmentation", {}) or {}
+    img_size = tuple(config.get("model.backbone.img_size", [96, 96, 96]))
+
+    train_mode = mode == "train"
+    aug_enabled = bool(aug.get("enabled", False))
+    do_flip = bool(aug.get("random_flip", True))
+    do_rot = float(aug.get("random_rotate", 0) or 0) > 0
+    intensity = float(aug.get("random_intensity", 0) or 0)
+    resize_needed = len(img_size) == 3
+
+    def fn(sample: Sample, key: jax.Array) -> Sample:
+        out = dict(sample)
+        out["image"] = modality_normalize(out["image"], modalities, preprocess_cfg)
+        if train_mode and aug_enabled:
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            if do_flip:
+                out = random_flip(out, k1, prob=0.5)
+            if do_rot:
+                out = random_rotate90(out, k2, prob=0.5)
+            if intensity > 0:
+                out = random_intensity_shift(
+                    out, k3, shift_range=(-intensity, intensity), prob=0.3
+                )
+            out = random_gaussian_noise(out, k4, std=0.05, prob=0.2)
+        if resize_needed:
+            out = resize_sample(out, img_size)
+        return out
+
+    return TransformPipeline(fn)

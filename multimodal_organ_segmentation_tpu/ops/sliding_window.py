@@ -64,30 +64,40 @@ def gaussian_importance_map(
 )
 def sliding_window_inference(
     volume: jax.Array,
-    predict_fn: Callable[[jax.Array], jax.Array],
+    predict_fn: Callable[..., jax.Array],
     roi_size: Tuple[int, int, int],
     num_classes: int,
     overlap: float = 0.5,
     sw_batch_size: int = 4,
     mode: str = "gaussian",
+    params=None,
 ) -> jax.Array:
     """Run tiled inference over ``volume``.
 
     Args:
         volume: ``[H, W, D, C]`` (single volume) or ``[B, H, W, D, C]``.
         predict_fn: maps ``[n, *roi, C]`` patches → ``[n, *roi, num_classes]``
-            logits. Must be jit-traceable.
+            logits. Must be jit-traceable. If ``params`` is given, the
+            signature is ``predict_fn(params, patches)``.
         roi_size: tile size.
         num_classes: output channel count.
         overlap: fractional tile overlap (default 0.5 like the reference
             config inference.sliding_window.overlap).
         sw_batch_size: tiles per model forward (reference inference.batch_size).
         mode: "gaussian" or "constant" blending.
+        params: optional pytree of model variables, threaded through the jit
+            as a real argument. IMPORTANT for performance: closing over the
+            weights in ``predict_fn`` instead would embed them as program
+            constants (slow lowering, host transfers, recompile per
+            checkpoint).
 
     Returns:
         logits with the same spatial shape as ``volume`` and ``num_classes``
         channels.
     """
+    run_predict = (
+        predict_fn if params is None else (lambda p: predict_fn(params, p))
+    )
     if volume.ndim == 5:
         return jax.vmap(
             lambda v: sliding_window_inference(
@@ -98,6 +108,7 @@ def sliding_window_inference(
                 overlap,
                 sw_batch_size,
                 mode,
+                params,
             )
         )(volume)
 
@@ -143,7 +154,7 @@ def sliding_window_inference(
     def chunk_body(carry, chunk_starts):
         acc, wacc = carry
         patches = jax.vmap(extract)(chunk_starts)  # [sw, rh, rw, rd, c]
-        logits = predict_fn(patches).astype(jnp.float32)  # [sw, rh, rw, rd, K]
+        logits = run_predict(patches).astype(jnp.float32)  # [sw, rh, rw, rd, K]
         weighted = logits * weight4[None]
 
         def add_one(i, carry):

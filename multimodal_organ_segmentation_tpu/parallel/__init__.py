@@ -1,0 +1,14 @@
+"""Parallelism: device mesh + sharding rules (SURVEY.md §2.10).
+
+The reference has only a dead ``distributed`` config stub; here data
+parallelism (and an optional tensor/model axis) is first-class via
+``jax.sharding.Mesh`` — XLA inserts the collectives (grad psum, eval
+all-gathers) over ICI/DCN; there is no explicit comm backend.
+"""
+
+from multimodal_organ_segmentation_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,125 @@
+"""Checkpointing: Orbax pytree checkpoints with the reference's policy.
+
+Reference policy (src/trainer/trainer.py:397-433, src/models/build.py:122-180):
+``last`` every epoch, ``best`` on val-dice improvement, ``epoch_{N}`` every
+``save_every`` epochs; checkpoint carries {epoch, params, opt_state,
+best_metric, history}; loading is format-tolerant.
+
+Orbax stores the array pytree; the scalar metadata rides in a side JSON so
+restore works without knowing the tree structure in advance.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from multimodal_organ_segmentation_tpu.utils.io import ensure_dir, load_json, save_json
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(
+    state_tree: Any,
+    path,
+    epoch: int = 0,
+    best_metric: float = 0.0,
+    history: Optional[Dict] = None,
+    **extra,
+) -> None:
+    """Save an array pytree + metadata under ``path`` (a directory)."""
+    path = Path(path).resolve()
+    if path.exists():
+        import shutil
+
+        shutil.rmtree(path)
+    ensure_dir(path.parent)
+    _checkpointer().save(path / "tree", state_tree)
+    save_json(
+        {"epoch": epoch, "best_metric": best_metric, "history": history or {}, **extra},
+        path / "meta.json",
+    )
+
+
+def load_checkpoint(path, target: Optional[Any] = None) -> Dict[str, Any]:
+    """Load a checkpoint directory → {tree, epoch, best_metric, history}.
+
+    ``target`` (optional) is an example pytree giving the structure.
+    Arrays are restored as host numpy — topology-independent (a checkpoint
+    written on TPU restores on a CPU mesh and vice versa); JAX re-places
+    them on first use (or the caller re-shards explicitly).
+    """
+    path = Path(path).resolve()
+    if not path.exists():
+        raise FileNotFoundError(f"checkpoint not found: {path}")
+    ckptr = _checkpointer()
+    tree_path = path / "tree"
+
+    def _as_numpy_restore(item):
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), item
+        )
+        return ckptr.restore(
+            tree_path, args=ocp.args.PyTreeRestore(item=item, restore_args=restore_args)
+        )
+
+    if target is not None:
+        tree = _as_numpy_restore(target)
+    else:
+        try:
+            meta_tree = ckptr.metadata(tree_path)
+            tree = _as_numpy_restore(meta_tree.tree) if hasattr(meta_tree, "tree") else ckptr.restore(tree_path)
+        except Exception:
+            tree = ckptr.restore(tree_path)
+    meta = load_json(path / "meta.json") if (path / "meta.json").exists() else {}
+    return {
+        "tree": tree,
+        "epoch": int(meta.get("epoch", 0)),
+        "best_metric": float(meta.get("best_metric", 0.0)),
+        "history": meta.get("history", {}),
+    }
+
+
+class CheckpointPolicy:
+    """best/last/every-N saving policy."""
+
+    def __init__(self, output_dir, config):
+        ckpt_cfg = config.get("training.checkpoint", {}) or {}
+        self.output_dir = ensure_dir(output_dir)
+        self.save_best = bool(ckpt_cfg.get("save_best", True))
+        self.save_last = bool(ckpt_cfg.get("save_last", True))
+        self.save_every = int(ckpt_cfg.get("save_every", 10) or 0)
+
+    def save(
+        self,
+        state_tree: Any,
+        epoch: int,
+        metric: float,
+        best_metric: float,
+        history: Optional[Dict] = None,
+    ) -> float:
+        """Apply the policy; returns the (possibly updated) best metric."""
+        if self.save_last:
+            save_checkpoint(
+                state_tree, self.output_dir / "last", epoch=epoch,
+                best_metric=best_metric, history=history,
+            )
+        if self.save_best and metric >= best_metric:
+            best_metric = metric
+            save_checkpoint(
+                state_tree, self.output_dir / "best", epoch=epoch,
+                best_metric=best_metric, history=history,
+            )
+        if self.save_every and (epoch + 1) % self.save_every == 0:
+            save_checkpoint(
+                state_tree, self.output_dir / f"epoch_{epoch + 1}", epoch=epoch,
+                best_metric=best_metric, history=history,
+            )
+        return best_metric

@@ -1,0 +1,242 @@
+"""Data layer tests: transforms parity, dataset, loader, synthetic gen."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_organ_segmentation_tpu.data.transforms import (
+    get_transforms,
+    modality_normalize,
+    random_crop,
+    random_flip,
+    random_gaussian_noise,
+    random_intensity_shift,
+    random_rotate90,
+    resize_sample,
+)
+from multimodal_organ_segmentation_tpu.data.dataloader import (
+    DataLoader,
+    collate_fn,
+    pad_tensors,
+)
+from multimodal_organ_segmentation_tpu.data.synthetic import (
+    generate_synthetic_dataset,
+    synthetic_volume,
+)
+from multimodal_organ_segmentation_tpu.utils.config import default_config
+
+
+class TestModalityNormalize:
+    def test_ct_window(self):
+        img = jnp.asarray(
+            np.linspace(-1000, 1000, 4 * 4 * 4, dtype=np.float32).reshape(4, 4, 4, 1)
+        )
+        cfg = {"ct": {"window_center": -100, "window_width": 700}}
+        out = np.asarray(modality_normalize(img, ["CT"], cfg))
+        # window [-450, 250] → clipped to [0, 1]
+        assert out.min() == pytest.approx(0.0)
+        assert out.max() == pytest.approx(1.0)
+        mid = (-100 - (-450)) / 700  # value -100 maps to 0.5
+        raw = np.asarray(img[..., 0])
+        idx = np.unravel_index(np.argmin(np.abs(raw + 100)), raw.shape)
+        assert out[idx][0] == pytest.approx(0.5, abs=0.02)
+
+    def test_pet_max_norm(self):
+        img = jnp.asarray(np.random.default_rng(0).uniform(0, 12, (4, 4, 4, 1)).astype(np.float32))
+        out = np.asarray(modality_normalize(img, ["PET"], {}))
+        assert out.max() == pytest.approx(1.0, abs=1e-5)
+
+    def test_mri_zscore(self):
+        img = jnp.asarray(np.random.default_rng(1).normal(50, 10, (6, 6, 6, 1)).astype(np.float32))
+        out = np.asarray(modality_normalize(img, ["MRI"], {}))
+        assert abs(out.mean()) < 1e-4
+        assert out.std() == pytest.approx(1.0, abs=1e-3)
+
+    def test_multi_channel(self):
+        img = jnp.asarray(np.random.default_rng(2).uniform(-500, 500, (4, 4, 4, 2)).astype(np.float32))
+        cfg = {"ct": {"window_center": 0, "window_width": 400}}
+        out = np.asarray(modality_normalize(img, ["CT", "PET"], cfg))
+        assert out.shape == (4, 4, 4, 2)
+        assert 0 <= out[..., 0].min() and out[..., 0].max() <= 1
+
+
+class TestRandomTransforms:
+    def _sample(self):
+        rng = np.random.default_rng(0)
+        return {
+            "image": jnp.asarray(rng.normal(size=(8, 8, 8, 2)).astype(np.float32)),
+            "label": jnp.asarray(rng.integers(0, 4, (8, 8, 8)).astype(np.int32)),
+        }
+
+    def test_flip_image_label_consistent(self):
+        s = self._sample()
+        out = random_flip(s, jax.random.key(3), prob=1.0)  # all axes flipped
+        np.testing.assert_allclose(
+            np.asarray(out["image"]),
+            np.asarray(s["image"])[::-1, ::-1, ::-1],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["label"]), np.asarray(s["label"])[::-1, ::-1, ::-1]
+        )
+
+    def test_flip_prob_zero_identity(self):
+        s = self._sample()
+        out = random_flip(s, jax.random.key(0), prob=0.0)
+        np.testing.assert_array_equal(np.asarray(out["image"]), np.asarray(s["image"]))
+
+    def test_rotate90_consistent(self):
+        s = self._sample()
+        out = random_rotate90(s, jax.random.key(1), prob=1.0)
+        img, lbl = np.asarray(out["image"]), np.asarray(out["label"])
+        # find which k was used by comparing against all three
+        src_i, src_l = np.asarray(s["image"]), np.asarray(s["label"])
+        matched = False
+        for k in (1, 2, 3):
+            if np.allclose(img, np.rot90(src_i, k, axes=(0, 1))):
+                np.testing.assert_array_equal(lbl, np.rot90(src_l, k, axes=(0, 1)))
+                matched = True
+        assert matched
+
+    def test_intensity_shift_applies(self):
+        s = self._sample()
+        out = random_intensity_shift(s, jax.random.key(2), prob=1.0)
+        assert not np.allclose(np.asarray(out["image"]), np.asarray(s["image"]))
+        np.testing.assert_array_equal(np.asarray(out["label"]), np.asarray(s["label"]))
+
+    def test_noise(self):
+        s = self._sample()
+        out = random_gaussian_noise(s, jax.random.key(3), std=0.5, prob=1.0)
+        diff = np.asarray(out["image"]) - np.asarray(s["image"])
+        assert diff.std() == pytest.approx(0.5, abs=0.05)
+
+    def test_random_crop(self):
+        s = self._sample()
+        out = random_crop(s, jax.random.key(4), (4, 4, 4))
+        assert out["image"].shape == (4, 4, 4, 2)
+        assert out["label"].shape == (4, 4, 4)
+
+    def test_resize_sample(self):
+        s = self._sample()
+        out = resize_sample(s, (6, 6, 6))
+        assert out["image"].shape == (6, 6, 6, 2)
+        assert out["label"].shape == (6, 6, 6)
+        assert out["label"].dtype == s["label"].dtype
+
+
+class TestPipeline:
+    def test_train_pipeline(self, default_cfg):
+        cfg = default_cfg
+        cfg.set("model.backbone.img_size", [16, 16, 16])
+        pipe = get_transforms(cfg, mode="train")
+        rng = np.random.default_rng(0)
+        sample = {
+            "image": rng.uniform(-500, 500, (20, 20, 20, 2)).astype(np.float32),
+            "label": rng.integers(0, 8, (20, 20, 20)).astype(np.int32),
+            "patient_id": "p0",
+        }
+        out = pipe(sample, jax.random.key(0))
+        assert out["image"].shape == (16, 16, 16, 2)
+        assert out["label"].shape == (16, 16, 16)
+        assert out["patient_id"] == "p0"  # metadata passthrough
+
+    def test_val_pipeline_deterministic(self, default_cfg):
+        cfg = default_cfg
+        cfg.set("model.backbone.img_size", [16, 16, 16])
+        pipe = get_transforms(cfg, mode="val")
+        rng = np.random.default_rng(0)
+        sample = {
+            "image": rng.uniform(-500, 500, (20, 20, 20, 2)).astype(np.float32),
+            "label": rng.integers(0, 8, (20, 20, 20)).astype(np.int32),
+        }
+        out1 = pipe(sample, jax.random.key(0))
+        out2 = pipe(sample, jax.random.key(99))
+        np.testing.assert_array_equal(np.asarray(out1["image"]), np.asarray(out2["image"]))
+
+
+class TestCollate:
+    def test_pad_tensors(self):
+        a = np.ones((2, 3)), np.ones((3, 2))
+        out = pad_tensors(list(a))
+        assert out.shape == (2, 3, 3)
+
+    def test_collate_same_shape(self):
+        samples = [
+            {"image": np.zeros((4, 4, 4, 1)), "patient_id": "a"},
+            {"image": np.ones((4, 4, 4, 1)), "patient_id": "b"},
+        ]
+        batch = collate_fn(samples)
+        assert batch["image"].shape == (2, 4, 4, 4, 1)
+        assert batch["patient_id"] == ["a", "b"]
+
+    def test_collate_mismatched(self):
+        samples = [{"image": np.zeros((4, 4, 4, 1))}, {"image": np.ones((6, 4, 4, 1))}]
+        batch = collate_fn(samples)
+        assert batch["image"].shape == (2, 6, 4, 4, 1)
+
+
+class TestSyntheticAndLoader:
+    def test_synthetic_volume(self):
+        img, lbl = synthetic_volume((16, 16, 16), 4, np.random.default_rng(0))
+        assert img.shape == (16, 16, 16, 2)
+        assert lbl.shape == (16, 16, 16)
+        assert set(np.unique(lbl)) <= set(range(4))
+        assert len(np.unique(lbl)) > 1  # some organs present
+
+    def test_end_to_end_dataset_loader(self, tmp_path, default_cfg):
+        csvs = generate_synthetic_dataset(
+            tmp_path, n_train=3, n_val=1, n_test=1, shape=(12, 12, 12), num_classes=4
+        )
+        cfg = default_cfg
+        cfg.set("data.data_root", str(tmp_path))
+        cfg.set("model.backbone.img_size", [12, 12, 12])
+        cfg.set("training.batch_size", 2)
+        cfg.set("hardware.num_workers", 2)
+
+        from multimodal_organ_segmentation_tpu.data import get_dataloader
+
+        loader = get_dataloader(cfg, split="train")
+        batches = list(loader)
+        assert len(batches) == 1  # 3 samples, batch 2, drop_last
+        b = batches[0]
+        assert np.asarray(b["image"]).shape == (2, 12, 12, 12, 2)
+        assert np.asarray(b["label"]).shape == (2, 12, 12, 12)
+
+        val_loader = get_dataloader(cfg, split="val")
+        vb = list(val_loader)
+        assert len(vb) == 1
+
+    def test_loader_shuffle_deterministic(self, tmp_path, default_cfg):
+        generate_synthetic_dataset(
+            tmp_path, n_train=4, n_val=1, n_test=1, shape=(8, 8, 8), num_classes=3
+        )
+        cfg = default_cfg
+        cfg.set("data.data_root", str(tmp_path))
+        cfg.set("model.backbone.img_size", [8, 8, 8])
+        cfg.set("training.batch_size", 1)
+
+        from multimodal_organ_segmentation_tpu.data import get_dataloader
+
+        l1 = get_dataloader(cfg, split="train")
+        l2 = get_dataloader(cfg, split="train")
+        ids1 = [b["patient_id"][0] for b in l1]
+        ids2 = [b["patient_id"][0] for b in l2]
+        assert ids1 == ids2  # same seed → same order
+
+    def test_inference_dataset(self, tmp_path):
+        from multimodal_organ_segmentation_tpu.data import InferenceDataset
+        from multimodal_organ_segmentation_tpu.utils.io import save_nifti
+
+        rng = np.random.default_rng(0)
+        paths = {"CT": [], "PET": []}
+        for i in range(2):
+            for mod in paths:
+                p = tmp_path / f"{mod}_{i}.nii.gz"
+                save_nifti(rng.normal(size=(8, 8, 8)).astype(np.float32), p)
+                paths[mod].append(p)
+        ds = InferenceDataset(paths)
+        assert len(ds) == 2
+        s = ds[0]
+        assert s["image"].shape == (8, 8, 8, 2)
+        assert "label" not in s

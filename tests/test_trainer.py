@@ -1,0 +1,175 @@
+"""Trainer integration tests: end-to-end training on synthetic data,
+checkpoint/resume roundtrip, eval, predict."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_organ_segmentation_tpu.data import get_dataloader
+from multimodal_organ_segmentation_tpu.data.synthetic import generate_synthetic_dataset
+from multimodal_organ_segmentation_tpu.train.trainer import Trainer
+from multimodal_organ_segmentation_tpu.train.optim import LRScheduler, make_optimizer
+from multimodal_organ_segmentation_tpu.utils.config import default_config
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    generate_synthetic_dataset(
+        root, n_train=4, n_val=2, n_test=2, shape=(16, 16, 16), num_classes=4, seed=0
+    )
+    cfg = default_config()
+    cfg.set("data.data_root", str(root))
+    cfg.set("model.name", "unet3d")
+    cfg.set("model.out_channels", 4)
+    cfg.set("model.backbone.features", [8, 16])
+    cfg.set("model.backbone.img_size", [16, 16, 16])
+    cfg.set("model.head.dropout", 0.0)
+    cfg.set("training.epochs", 3)
+    cfg.set("training.batch_size", 2)
+    cfg.set("training.accumulation_steps", 2)
+    cfg.set("training.optimizer.lr", 3e-3)
+    cfg.set("training.early_stopping.enabled", False)
+    cfg.set("training.checkpoint.save_every", 2)
+    cfg.set("hardware.num_workers", 0)
+    cfg.set("hardware.mixed_precision", "none")
+    cfg.set("experiment.output_dir", str(tmp_path_factory.mktemp("out")))
+    return cfg
+
+
+class TestSchedulers:
+    def test_cosine_parity_torch(self):
+        torch = pytest.importorskip("torch")
+        cfg = default_config()
+        cfg.set("training.epochs", 20)
+        cfg.set("training.optimizer.lr", 1e-3)
+        cfg.set("training.scheduler.name", "cosine")
+        cfg.set("training.scheduler.warmup_epochs", 5)
+        cfg.set("training.scheduler.min_lr", 1e-5)
+        sched = LRScheduler(cfg)
+
+        m = torch.nn.Linear(1, 1)
+        opt = torch.optim.SGD(m.parameters(), lr=1e-3)
+        ref = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=15, eta_min=1e-5)
+        for epoch in range(15):
+            ref_lr = opt.param_groups[0]["lr"]
+            assert sched.lr_for_epoch(epoch) == pytest.approx(ref_lr, rel=1e-6)
+            ref.step()
+
+    def test_step_schedule(self):
+        cfg = default_config()
+        cfg.set("training.scheduler.name", "step")
+        cfg.set("training.scheduler.step_size", 2)
+        cfg.set("training.scheduler.gamma", 0.5)
+        cfg.set("training.optimizer.lr", 1.0)
+        s = LRScheduler(cfg)
+        assert [s.lr_for_epoch(e) for e in range(5)] == [1.0, 1.0, 0.5, 0.5, 0.25]
+
+    def test_plateau(self):
+        cfg = default_config()
+        cfg.set("training.scheduler.name", "plateau")
+        cfg.set("training.scheduler.patience", 1)
+        cfg.set("training.scheduler.factor", 0.1)
+        cfg.set("training.optimizer.lr", 1.0)
+        s = LRScheduler(cfg)
+        assert s.lr_for_epoch(0, None) == 1.0
+        assert s.lr_for_epoch(1, 0.5) == 1.0  # new best
+        assert s.lr_for_epoch(2, 0.4) == 1.0  # bad 1 <= patience
+        assert s.lr_for_epoch(3, 0.4) == pytest.approx(0.1)  # bad 2 → cut
+
+    def test_optimizers_build(self):
+        for name in ["adam", "adamw", "sgd"]:
+            cfg = default_config()
+            cfg.set("training.optimizer.name", name)
+            tx = make_optimizer(cfg)
+            params = {"w": jnp.ones((3,))}
+            state = tx.init(params)
+            g = {"w": jnp.ones((3,))}
+            updates, _ = tx.update(g, state, params)
+            assert jnp.all(jnp.isfinite(updates["w"]))
+
+
+class TestEndToEnd:
+    def test_train_improves_and_checkpoints(self, tiny_cfg):
+        train_loader = get_dataloader(tiny_cfg, split="train")
+        val_loader = get_dataloader(tiny_cfg, split="val")
+        trainer = Trainer(
+            tiny_cfg, train_loader=train_loader, val_loader=val_loader
+        )
+        history = trainer.train()
+
+        assert len(history["train_loss"]) == 3
+        # loss decreases over training
+        assert history["train_loss"][-1] < history["train_loss"][0]
+        # dice improves from the start
+        assert history["val_dice"][-1] >= history["val_dice"][0]
+
+        out = Path(tiny_cfg.get("experiment.output_dir")) / str(
+            tiny_cfg.get("experiment.name")
+        )
+        assert (out / "last" / "meta.json").exists()
+        assert (out / "best" / "meta.json").exists()
+        assert (out / "epoch_2" / "meta.json").exists()
+
+    def test_resume_roundtrip(self, tiny_cfg):
+        cfg = tiny_cfg.copy()
+        cfg.set("training.epochs", 2)
+        train_loader = get_dataloader(cfg, split="train")
+        val_loader = get_dataloader(cfg, split="val")
+        t1 = Trainer(cfg, train_loader=train_loader, val_loader=val_loader)
+        t1.train()
+        last = Path(cfg.get("experiment.output_dir")) / str(
+            cfg.get("experiment.name")
+        ) / "last"
+
+        cfg2 = cfg.copy()
+        cfg2.set("training.epochs", 3)
+        t2 = Trainer(
+            cfg2,
+            train_loader=get_dataloader(cfg2, split="train"),
+            val_loader=get_dataloader(cfg2, split="val"),
+            resume_from=str(last),
+        )
+        first = next(iter(t2.train_loader))
+        t2.init_state(np.asarray(first["image"][0]))
+        assert t2.current_epoch == 2  # resumes after saved epoch
+        assert len(t2.history["train_loss"]) == 2
+        hist = t2.train()
+        assert len(hist["train_loss"]) == 3  # one more epoch appended
+
+    def test_evaluate(self, tiny_cfg):
+        val_loader = get_dataloader(tiny_cfg, split="test")
+        trainer = Trainer(tiny_cfg, val_loader=val_loader)
+        metrics = trainer.evaluate()
+        assert "dice" in metrics and "loss" in metrics
+        assert 0 <= metrics["dice"] <= 1
+
+    def test_predict(self, tiny_cfg, tmp_path):
+        from multimodal_organ_segmentation_tpu.utils.io import load_nifti, save_nifti
+
+        # build an inference layout {input}/{mod}/case.nii.gz
+        rng = np.random.default_rng(0)
+        for mod in ["ct", "pet"]:
+            d = tmp_path / "in" / mod
+            d.mkdir(parents=True)
+            save_nifti(
+                rng.normal(size=(20, 20, 20)).astype(np.float32),
+                d / "case1.nii.gz",
+                affine=np.diag([1.5, 1.5, 2.0, 1.0]),
+            )
+
+        cfg = tiny_cfg.copy()
+        cfg.set("inference.sliding_window.roi_size", [16, 16, 16])
+        cfg.set("inference.batch_size", 2)
+        trainer = Trainer(cfg)
+        trainer.init_state(np.zeros((16, 16, 16, 2), np.float32))
+        written = trainer.predict(tmp_path / "in", tmp_path / "out")
+        assert len(written) == 1
+        pred, aff = load_nifti(written[0], return_affine=True, dtype=np.uint8)
+        assert pred.shape == (20, 20, 20)
+        assert pred.dtype == np.uint8
+        assert np.allclose(aff, np.diag([1.5, 1.5, 2.0, 1.0]))
