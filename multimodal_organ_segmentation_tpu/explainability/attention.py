@@ -1,0 +1,142 @@
+"""Attention-map visualization (reference: src/explainability/attention.py).
+
+Captures attention tensors sown into the ``intermediates`` collection
+(WindowAttention probs, AttentionFusion modality weights) — the JAX
+replacement for the reference's name-matching forward hooks
+(attention.py:41-43) — reduces them to spatial saliency maps, and renders
+3-plane (axial/coronal/sagittal) heatmap figures (attention.py:138-156)
+plus an all-heads grid (attention.py:166-215).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_organ_segmentation_tpu.ops.resize import resize_linear
+
+
+class AttentionVisualizer:
+    """Collects and renders attention maps."""
+
+    def __init__(self, model, variables: Dict[str, Any]):
+        self.model = model
+        self.variables = {"params": variables["params"]}
+
+    def capture(self, x) -> Dict[str, np.ndarray]:
+        """Run a forward pass collecting all sown attention tensors."""
+        _, state = self.model.apply(
+            self.variables, jnp.asarray(x), train=False, mutable=["intermediates"]
+        )
+        flat = jax.tree_util.tree_flatten_with_path(state["intermediates"])[0]
+        out = {}
+        for path, value in flat:
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            out[name] = np.asarray(value)
+        return out
+
+    @staticmethod
+    def attention_rollout(attn: np.ndarray) -> np.ndarray:
+        """[B', heads, N, N] window attention → per-token saliency [B', N]:
+        mean over heads of attention received (column mean)."""
+        return attn.mean(axis=1).mean(axis=1)
+
+    def spatial_map(
+        self,
+        attn: np.ndarray,
+        volume_shape: Tuple[int, int, int],
+    ) -> Optional[np.ndarray]:
+        """Fold window-token saliency back to a coarse spatial volume.
+
+        The reference probes /4, /8, /16 grids to reshape sequences
+        (attention.py:104-113); here window attention gives [B·nW, h, N, N]
+        with N = window volume — we reduce to per-window saliency and
+        arrange windows on their grid, then resize to ``volume_shape``.
+        """
+        if attn.ndim != 4:
+            return None
+        saliency = self.attention_rollout(attn)  # [B·nW, N]
+        per_window = saliency.mean(axis=1)  # [B·nW]
+        n = per_window.shape[0]
+        side = round(n ** (1 / 3))
+        if side**3 != n:
+            return None
+        grid = per_window.reshape(side, side, side)
+        vol = resize_linear(jnp.asarray(grid), tuple(volume_shape), (0, 1, 2))
+        vol = np.asarray(vol)
+        lo, hi = vol.min(), vol.max()
+        return (vol - lo) / (hi - lo + 1e-8)
+
+    def visualize(
+        self,
+        x,
+        output_dir,
+        max_layers: int = 4,
+    ) -> List[str]:
+        """Write 3-plane heatmaps for up to ``max_layers`` attention maps."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        x = np.asarray(x)
+        vol_shape = x.shape[1:4]
+        captured = self.capture(x)
+
+        written = []
+        count = 0
+        for name, attn in captured.items():
+            if count >= max_layers:
+                break
+            if "attn_probs" not in name:
+                continue
+            spatial = self.spatial_map(attn, vol_shape)
+            if spatial is None:
+                continue
+            img = x[0, ..., 0]
+            fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+            for ax, axis_idx, title in zip(axes, (2, 1, 0), ("axial", "coronal", "sagittal")):
+                mid = img.shape[axis_idx] // 2
+                ax.imshow(np.take(img, mid, axis=axis_idx).T, cmap="gray", origin="lower")
+                ax.imshow(
+                    np.take(spatial, mid, axis=axis_idx).T,
+                    cmap="jet", alpha=0.4, origin="lower",
+                )
+                ax.set_title(f"{title}")
+                ax.axis("off")
+            safe = name.replace("/", "_")[:80]
+            out = output_dir / f"attention_{count}_{safe}.png"
+            fig.suptitle(name, fontsize=8)
+            fig.tight_layout()
+            fig.savefig(out, dpi=100)
+            plt.close(fig)
+            written.append(str(out))
+            count += 1
+
+        # all-heads grid for the first attention tensor
+        first = next((a for n, a in captured.items() if "attn_probs" in n), None)
+        if first is not None and first.ndim == 4:
+            heads = first.shape[1]
+            cols = min(heads, 4)
+            rows = (heads + cols - 1) // cols
+            fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 4 * rows))
+            axes = np.atleast_1d(axes).ravel()
+            for h in range(heads):
+                axes[h].imshow(first[0, h], cmap="viridis")
+                axes[h].set_title(f"head {h}")
+                axes[h].axis("off")
+            for ax in axes[heads:]:
+                ax.axis("off")
+            out = output_dir / "attention_heads_grid.png"
+            fig.tight_layout()
+            fig.savefig(out, dpi=100)
+            plt.close(fig)
+            written.append(str(out))
+        return written

@@ -1,0 +1,170 @@
+"""GradCAM / GradCAM++ via flax perturbations
+(reference: src/explainability/gradcam.py:13-287).
+
+Semantics preserved: the segmentation score is
+``output[0, ..., class].max()`` (gradcam.py:101-106); weights are the
+spatial GAP of the gradient; cam = ReLU(Σ_c w_c·A_c), trilinearly resized
+to the input grid and minmax-normalized (gradcam.py:109-145).
+GradCAM++: α = g² / (2g² + ΣA·g³), w = Σ α·ReLU(g) (gradcam.py:148-247).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_organ_segmentation_tpu.ops.resize import resize_linear
+
+
+class GradCAM:
+    """Class-activation maps from capture features + perturbation grads.
+
+    ``model`` must be built with ``enable_perturb=True``; layer names are
+    the perturbation names (e.g. "feat3" for UNet3D, "stage3" for
+    SwinUNETR, "fused4" for DualEncoder).
+    """
+
+    def __init__(self, model, variables: Dict[str, Any], target_layers: List[str]):
+        self.model = model
+        self.params = variables["params"]
+        self.perturbations = jax.tree_util.tree_map(
+            jnp.zeros_like, variables.get("perturbations", {})
+        )
+        if not self.perturbations:
+            raise ValueError(
+                "model has no perturbation points; build it with enable_perturb=True"
+            )
+        self.target_layers = list(target_layers)
+        missing = [t for t in self.target_layers if not self._find(t)]
+        if missing:
+            raise ValueError(
+                f"target layers {missing} not in perturbation points "
+                f"{list(self._flat_names())}"
+            )
+        self._grad_fn = jax.jit(
+            jax.value_and_grad(self._score, has_aux=True), static_argnums=(3,)
+        )
+
+    def _flat_names(self):
+        flat = jax.tree_util.tree_flatten_with_path(self.perturbations)[0]
+        return ["/".join(str(getattr(k, "key", k)) for k in path) for path, _ in flat]
+
+    def _find(self, name: str) -> bool:
+        return any(name in n for n in self._flat_names())
+
+    def _score(self, perts, x, params, class_idx: int):
+        variables = {"params": params, "perturbations": perts}
+        out = self.model.apply(variables, x, train=False)
+        logits = out[0] if isinstance(out, tuple) else out
+        score = jnp.max(logits[0, ..., class_idx])
+        # activations = perturbed values reconstructed: activation + 0
+        return score, logits
+
+    def _activations(self, x) -> Dict[str, jax.Array]:
+        variables = {"params": self.params}
+        logits, feats = self.model.apply(variables, x, train=False, capture=True)
+        flat = {}
+        if isinstance(feats, dict):  # DualEncoder capture dict
+            for i, f in enumerate(feats.get("fused_features", [])):
+                flat[f"fused{i}"] = f
+        else:
+            for i, f in enumerate(feats):
+                flat[f"feat{i}"] = f
+                flat[f"stage{i}"] = f
+        return flat
+
+    def _gradients(self, x, class_idx: int) -> Dict[str, jax.Array]:
+        (score, logits), grads = self._grad_fn(
+            self.perturbations, x, self.params, class_idx
+        )
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in path): g for path, g in flat
+        }
+
+    def _weights(self, grad: jax.Array) -> jax.Array:
+        # GAP over spatial dims → per-channel weight; grad [B, H, W, D, C]
+        return jnp.mean(grad, axis=(1, 2, 3))
+
+    def generate(
+        self, x, class_idx: int = 1
+    ) -> Dict[str, np.ndarray]:
+        """Per-target-layer CAM volumes matching the input grid."""
+        x = jnp.asarray(x)
+        acts = self._activations(x)
+        grads = self._gradients(x, class_idx)
+        cams = {}
+        for target in self.target_layers:
+            gname = next((n for n in grads if target in n), None)
+            act = acts.get(target)
+            if gname is None or act is None:
+                continue
+            grad = grads[gname]
+            w = self._weights_from(grad, act)  # [B, C]
+            cam = jnp.einsum("bhwdc,bc->bhwd", act.astype(jnp.float32), w)
+            cam = jnp.maximum(cam, 0.0)
+            cam = resize_linear(cam, x.shape[1:4], spatial_axes=(1, 2, 3))
+            lo, hi = jnp.min(cam), jnp.max(cam)
+            cam = (cam - lo) / (hi - lo + 1e-8)
+            cams[target] = np.asarray(cam[0])
+        return cams
+
+    def _weights_from(self, grad: jax.Array, act: jax.Array) -> jax.Array:
+        return self._weights(grad.astype(jnp.float32))
+
+
+class GradCAMPlusPlus(GradCAM):
+    """GradCAM++ weighting."""
+
+    def _weights_from(self, grad: jax.Array, act: jax.Array) -> jax.Array:
+        g = grad.astype(jnp.float32)
+        a = act.astype(jnp.float32)
+        g2 = g**2
+        g3 = g2 * g
+        sum_a_g3 = jnp.sum(a * g3, axis=(1, 2, 3), keepdims=True)
+        alpha = g2 / (2.0 * g2 + sum_a_g3 + 1e-8)
+        return jnp.sum(alpha * jnp.maximum(g, 0.0), axis=(1, 2, 3))
+
+
+def visualize_gradcam(
+    image: np.ndarray,
+    cam: np.ndarray,
+    output_path=None,
+    axis: int = 2,
+    slice_idx: Optional[int] = None,
+    alpha: float = 0.4,
+):
+    """Overlay a CAM slice on the image (reference: gradcam.py:250-287)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    image = np.asarray(image)
+    if image.ndim == 4:  # [H, W, D, C] → first channel
+        image = image[..., 0]
+    if slice_idx is None:
+        slice_idx = image.shape[axis] // 2
+    img_slice = np.take(image, slice_idx, axis=axis)
+    cam_slice = np.take(cam, slice_idx, axis=axis)
+
+    fig, axes = plt.subplots(1, 3, figsize=(14, 5))
+    axes[0].imshow(img_slice.T, cmap="gray", origin="lower")
+    axes[0].set_title("image")
+    axes[1].imshow(cam_slice.T, cmap="jet", origin="lower")
+    axes[1].set_title("GradCAM")
+    axes[2].imshow(img_slice.T, cmap="gray", origin="lower")
+    axes[2].imshow(cam_slice.T, cmap="jet", alpha=alpha, origin="lower")
+    axes[2].set_title("overlay")
+    for ax in axes:
+        ax.axis("off")
+    fig.tight_layout()
+    if output_path is not None:
+        fig.savefig(output_path, dpi=100)
+        plt.close(fig)
+        return str(output_path)
+    return fig

@@ -1,0 +1,130 @@
+"""CLI explain mode: run enabled explainability tools over discovered cases.
+
+The reference exposes explainability only as a library (SURVEY.md §1 —
+flags wired into config but never invoked); here ``--mode explain`` runs
+GradCAM/attention/t-SNE/SHAP per config toggles.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_organ_segmentation_tpu.utils.io import ensure_dir, load_nifti, save_nifti
+
+
+def run_explainability(config, checkpoint, input_path, output_path, logger=None) -> Dict[str, List[str]]:
+    from multimodal_organ_segmentation_tpu.models.build import build_model
+    from multimodal_organ_segmentation_tpu.ops.resize import resize_linear
+    from multimodal_organ_segmentation_tpu.train.checkpoint import load_checkpoint
+
+    cfg = config.copy()
+    cfg.set("model.enable_perturb", True)
+    model = build_model(cfg)
+
+    output_path = ensure_dir(output_path)
+    roi = tuple(cfg.get("model.backbone.img_size", [96, 96, 96]))
+    modalities = list(cfg.get("data.modalities", ["CT", "PET"]))
+
+    # init to get variable structure, then load trained params
+    x0 = jnp.zeros((1, *roi, len(modalities)), jnp.float32)
+    variables = dict(
+        jax.jit(lambda k: model.init(k, x0, train=False))(jax.random.key(0))
+    )
+    ckpt = load_checkpoint(checkpoint)
+    tree = ckpt["tree"]
+    params = tree.get("params") if isinstance(tree, dict) and "params" in tree else tree
+    if isinstance(params, dict) and "backbone" not in params and "params" in params:
+        params = params["params"]
+    variables["params"] = params
+
+    # case discovery like Trainer.predict
+    cases: Dict[str, Dict[str, Path]] = {}
+    for mod in modalities:
+        mdir = Path(input_path) / mod.lower()
+        if not mdir.exists():
+            continue
+        for p in sorted(list(mdir.glob("*.nii")) + list(mdir.glob("*.nii.gz"))):
+            case = p.name.replace(".nii.gz", "").replace(".nii", "")
+            cases.setdefault(case, {})[mod] = p
+    cases = {c: m for c, m in cases.items() if len(m) == len(modalities)}
+    if logger:
+        logger.info(f"Explainability over {len(cases)} cases")
+
+    written: Dict[str, List[str]] = {"gradcam": [], "attention": [], "shap": []}
+    samples = []
+    for case, mods in cases.items():
+        channels = []
+        for mod in modalities:
+            vol = load_nifti(mods[mod])
+            channels.append(vol.astype(np.float32))
+        image = np.stack(channels, axis=-1)
+        image_r = np.asarray(
+            resize_linear(jnp.asarray(image), roi, spatial_axes=(0, 1, 2))
+        )
+        x = jnp.asarray(image_r)[None]
+        samples.append({"image": image_r})
+
+        if bool(cfg.get("explainability.gradcam.enabled", False)):
+            from multimodal_organ_segmentation_tpu.explainability.gradcam import (
+                GradCAM,
+                visualize_gradcam,
+            )
+
+            pert_names = _perturb_names(variables)
+            targets = [pert_names[-1]] if pert_names else []
+            if targets:
+                cam = GradCAM(model, variables, targets).generate(x, class_idx=1)
+                for layer, vol in cam.items():
+                    out = output_path / f"{case}_gradcam_{layer}.png"
+                    visualize_gradcam(image_r, vol, out)
+                    save_nifti(vol, output_path / f"{case}_gradcam_{layer}.nii.gz")
+                    written["gradcam"].append(str(out))
+
+        if bool(cfg.get("explainability.attention_maps.enabled", False)):
+            from multimodal_organ_segmentation_tpu.explainability.attention import (
+                AttentionVisualizer,
+            )
+
+            viz = AttentionVisualizer(model, variables)
+            written["attention"].extend(viz.visualize(x, output_path / f"{case}_attention"))
+
+        if bool(cfg.get("explainability.shap.enabled", False)):
+            from multimodal_organ_segmentation_tpu.explainability.shap_analysis import (
+                SHAPAnalyzer,
+            )
+
+            shap = SHAPAnalyzer(
+                model, variables,
+                n_steps=int(cfg.get("explainability.shap.n_samples", 50)),
+            )
+            attr = shap.integrated_gradients(x, class_idx=1)
+            out = output_path / f"{case}_integrated_gradients.png"
+            shap.visualize(x, attr, out)
+            written["shap"].append(str(out))
+
+    if bool(cfg.get("explainability.tsne.enabled", False)) and len(samples) >= 3:
+        from multimodal_organ_segmentation_tpu.explainability.tsne import TSNEVisualizer
+
+        viz = TSNEVisualizer(
+            model, variables,
+            perplexity=float(cfg.get("explainability.tsne.perplexity", 30)),
+        )
+        written["tsne"] = [viz.visualize(samples, output_path / "tsne.png")]
+
+    return written
+
+
+def _perturb_names(variables) -> List[str]:
+    import jax
+
+    perts = variables.get("perturbations", {})
+    flat = jax.tree_util.tree_flatten_with_path(perts)[0]
+    return [
+        "/".join(str(getattr(k, "key", k)) for k in path) for path, _ in flat
+    ]

@@ -1,0 +1,125 @@
+"""Gradient-SHAP / integrated gradients
+(reference: src/explainability/shap_analysis.py:14-270).
+
+- gradient SHAP approx: grad × (input − baseline), baseline = background
+  mean or zeros (shap_analysis.py:63-106);
+- integrated gradients: straight-line path, n_steps interpolation
+  (shap_analysis.py:108-165), computed as one ``lax.scan`` under jit;
+- per-channel importance summary + slice visualization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class SHAPAnalyzer:
+    """Input-attribution maps for a segmentation model."""
+
+    def __init__(self, model, variables: Dict[str, Any], n_steps: int = 50):
+        self.model = model
+        self.variables = {"params": variables["params"]}
+        self.n_steps = n_steps
+
+        def score(x, class_idx):
+            out = self.model.apply(self.variables, x, train=False)
+            logits = out[0] if isinstance(out, tuple) else out
+            return jnp.sum(logits[..., class_idx])
+
+        self._grad = jax.jit(jax.grad(score), static_argnums=(1,))
+
+        @partial(jax.jit, static_argnums=(2, 3))
+        def integrated(x, baseline, class_idx, n_steps):
+            # midpoint rule: better completeness (Σattr ≈ F(x) − F(baseline))
+            # than the left-endpoint linspace the reference uses
+            alphas = (jnp.arange(n_steps, dtype=jnp.float32) + 0.5) / n_steps
+
+            def body(acc, alpha):
+                xi = baseline + alpha * (x - baseline)
+                g = self._grad(xi, class_idx)
+                return acc + g, None
+
+            total, _ = jax.lax.scan(body, jnp.zeros_like(x), alphas)
+            return (x - baseline) * total / n_steps
+
+        self._integrated = integrated
+
+    def _baseline(self, x: jax.Array, kind: str = "background") -> jax.Array:
+        if kind == "zeros":
+            return jnp.zeros_like(x)
+        # background mean per channel (reference default)
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        return jnp.broadcast_to(mean, x.shape)
+
+    def gradient_shap(
+        self, x, class_idx: int = 1, baseline: str = "background"
+    ) -> np.ndarray:
+        """grad × (input − baseline) attribution [B, H, W, D, C]."""
+        x = jnp.asarray(x)
+        b = self._baseline(x, baseline)
+        g = self._grad(x, class_idx)
+        return np.asarray(g * (x - b))
+
+    def integrated_gradients(
+        self, x, class_idx: int = 1, baseline: str = "background"
+    ) -> np.ndarray:
+        x = jnp.asarray(x)
+        b = self._baseline(x, baseline)
+        return np.asarray(self._integrated(x, b, class_idx, self.n_steps))
+
+    def channel_importance(self, attribution: np.ndarray) -> np.ndarray:
+        """Mean |attribution| per input channel (modality importance)."""
+        return np.abs(attribution).mean(axis=tuple(range(attribution.ndim - 1)))
+
+    def visualize(
+        self,
+        image,
+        attribution: np.ndarray,
+        output_path,
+        axis: int = 2,
+        slice_idx: Optional[int] = None,
+    ) -> str:
+        """Slice view of attributions per channel + importance bars."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        image = np.asarray(image)
+        attr = np.asarray(attribution)
+        if image.ndim == 5:
+            image, attr = image[0], attr[0]
+        n_ch = image.shape[-1]
+        if slice_idx is None:
+            slice_idx = image.shape[axis] // 2
+
+        fig, axes = plt.subplots(2, n_ch + 1, figsize=(5 * (n_ch + 1), 9))
+        for c in range(n_ch):
+            img_sl = np.take(image[..., c], slice_idx, axis=axis)
+            at_sl = np.take(attr[..., c], slice_idx, axis=axis)
+            axes[0, c].imshow(img_sl.T, cmap="gray", origin="lower")
+            axes[0, c].set_title(f"channel {c}")
+            vmax = np.abs(at_sl).max() + 1e-8
+            axes[1, c].imshow(
+                at_sl.T, cmap="bwr", vmin=-vmax, vmax=vmax, origin="lower"
+            )
+            axes[1, c].set_title(f"attribution {c}")
+        for row in axes:
+            for ax in row[:-1]:
+                ax.axis("off")
+        imp = self.channel_importance(attr)
+        axes[0, n_ch].bar(range(n_ch), imp)
+        axes[0, n_ch].set_title("channel importance")
+        axes[1, n_ch].axis("off")
+        Path(output_path).parent.mkdir(parents=True, exist_ok=True)
+        fig.tight_layout()
+        fig.savefig(output_path, dpi=100)
+        plt.close(fig)
+        return str(output_path)

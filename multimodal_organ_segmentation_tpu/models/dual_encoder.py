@@ -63,6 +63,8 @@ class DualEncoder(nn.Module):
     dropout: float = 0.0
     cross_attn_heads: int = 4
     dtype: Any = jnp.float32
+    # explainability: grad-capture points at fused pyramid levels
+    enable_perturb: bool = False
 
     @nn.compact
     def __call__(
@@ -83,6 +85,10 @@ class DualEncoder(nn.Module):
             all_encoder_features.append(outs)
 
         fused = self._fuse(all_encoder_features, train)
+        if self.enable_perturb:
+            fused = [
+                self.perturb(f"fused{i}", f) for i, f in enumerate(fused)
+            ]
 
         y = fused[-1]
         skips = fused[:-1]
@@ -166,4 +172,5 @@ def build_dual_encoder(config, dtype=jnp.float32) -> DualEncoder:
         fusion_type=ftype,
         dropout=float(config.get("model.head.dropout", 0.0) or 0.0),
         dtype=dtype,
+        enable_perturb=bool(config.get("model.enable_perturb", False)),
     )

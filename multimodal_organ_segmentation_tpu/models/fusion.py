@@ -108,6 +108,9 @@ class AttentionFusion(nn.Module):
         h = nn.relu(h)
         w = nn.Dense(m, dtype=self.dtype)(h)
         w = jax.nn.softmax(w, axis=-1)  # [B, M]
+        # modality weights for the AttentionVisualizer (no-op unless
+        # "intermediates" is mutable)
+        self.sow("intermediates", "modality_weights", w)
         stacked = jnp.stack(features, axis=1)  # [B, M, H, W, D, C]
         w = w[:, :, None, None, None, None]
         return jnp.sum(stacked * w, axis=1)

@@ -159,6 +159,9 @@ class WindowAttention(nn.Module):
             attn = attn + mask[None, :, None]
             attn = attn.reshape(b_, self.num_heads, n, n)
         attn = jax.nn.softmax(attn, axis=-1)
+        # expose attention probabilities to the AttentionVisualizer; no-op
+        # unless apply() passes mutable=["intermediates"]
+        self.sow("intermediates", "attn_probs", attn)
         if self.attn_drop > 0:
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
 
@@ -318,6 +321,8 @@ class SwinUNETR(nn.Module):
     attn_drop_rate: float = 0.0
     use_remat: bool = False
     dtype: Dtype = jnp.float32
+    # explainability: grad-capture points at pyramid outputs (see unet3d)
+    enable_perturb: bool = False
 
     @nn.compact
     def __call__(
@@ -353,8 +358,12 @@ class SwinUNETR(nn.Module):
                     dtype=self.dtype,
                     name=f"stage{stage}_block{bi}",
                 )(y, train)
+            if self.enable_perturb:
+                y = self.perturb(f"stage{stage}", y)
             hidden.append(y)
             y = PatchMerging(dims[stage], dtype=self.dtype, name=f"merge{stage}")(y)
+        if self.enable_perturb:
+            y = self.perturb("stage4", y)
         hidden.append(y)  # bottleneck 16fs @ /32
 
         # UNETR decoder
@@ -413,4 +422,5 @@ def build_swin_unetr(config, dtype=jnp.float32) -> SwinUNETR:
         drop_rate=float(config.get("model.head.dropout", 0.0) or 0.0),
         use_remat=bool(config.get("parallel.remat", False)),
         dtype=dtype,
+        enable_perturb=bool(config.get("model.enable_perturb", False)),
     )

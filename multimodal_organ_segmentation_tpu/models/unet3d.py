@@ -34,6 +34,11 @@ class UNet3D(nn.Module):
     norm: str = "instance"
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    # explainability: register zero "perturbations" at encoder outputs so
+    # jax.grad(score)(perturbations) yields d score / d activation — the
+    # JAX replacement for the reference's torch backward hooks
+    # (gradcam.py:44-59)
+    enable_perturb: bool = False
 
     @nn.compact
     def __call__(
@@ -48,12 +53,16 @@ class UNet3D(nn.Module):
         x = ConvBlock3D(feats[0], norm=self.norm, dtype=self.dtype, name="init_conv")(
             x, train
         )
+        if self.enable_perturb:
+            x = self.perturb("feat0", x)
         encoder_features = [x]
 
         for i in range(len(feats) - 1):
             x, _ = DownBlock3D(
                 feats[i + 1], norm=self.norm, dtype=self.dtype, name=f"down{i}"
             )(x, train)
+            if self.enable_perturb:
+                x = self.perturb(f"feat{i + 1}", x)
             encoder_features.append(x)
 
         skips = encoder_features[:-1]  # bottleneck excluded from skips
@@ -89,4 +98,5 @@ def build_unet3d(config, dtype=jnp.float32) -> UNet3D:
         norm=str(backbone.get("norm", "instance")),
         dropout=float(config.get("model.head.dropout", 0.0) or 0.0),
         dtype=dtype,
+        enable_perturb=bool(config.get("model.enable_perturb", False)),
     )

@@ -1,0 +1,166 @@
+"""Explainability tests: gradcam correctness, attention capture, shap, tsne."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_organ_segmentation_tpu.explainability import (
+    AttentionVisualizer,
+    GradCAM,
+    GradCAMPlusPlus,
+    SHAPAnalyzer,
+    TSNEVisualizer,
+    visualize_gradcam,
+)
+from multimodal_organ_segmentation_tpu.models.unet3d import UNet3D
+from multimodal_organ_segmentation_tpu.models.swin_unetr import SwinUNETR
+
+
+@pytest.fixture(scope="module")
+def unet_setup():
+    model = UNet3D(out_channels=3, features=(4, 8), enable_perturb=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 8, 8, 8, 2)).astype(np.float32)
+    )
+    variables = model.init(jax.random.key(0), x, train=False)
+    return model, variables, x
+
+
+class TestGradCAM:
+    def test_generate_shapes(self, unet_setup):
+        model, variables, x = unet_setup
+        cam = GradCAM(model, variables, ["feat1"]).generate(x, class_idx=1)
+        assert "feat1" in cam
+        assert cam["feat1"].shape == (8, 8, 8)
+        assert cam["feat1"].min() >= 0 and cam["feat1"].max() <= 1.0 + 1e-6
+
+    def test_gradcampp(self, unet_setup):
+        model, variables, x = unet_setup
+        cam = GradCAMPlusPlus(model, variables, ["feat0"]).generate(x, class_idx=2)
+        assert cam["feat0"].shape == (8, 8, 8)
+        assert np.all(np.isfinite(cam["feat0"]))
+
+    def test_requires_perturb(self):
+        model = UNet3D(out_channels=2, features=(4, 8))  # no perturb
+        x = jnp.zeros((1, 8, 8, 8, 1))
+        variables = model.init(jax.random.key(0), x, train=False)
+        with pytest.raises(ValueError, match="enable_perturb"):
+            GradCAM(model, variables, ["feat0"])
+
+    def test_unknown_layer(self, unet_setup):
+        model, variables, _ = unet_setup
+        with pytest.raises(ValueError, match="not in perturbation"):
+            GradCAM(model, variables, ["nope"])
+
+    def test_visualize(self, unet_setup, tmp_path):
+        model, variables, x = unet_setup
+        cam = GradCAM(model, variables, ["feat1"]).generate(x)
+        out = visualize_gradcam(np.asarray(x[0]), cam["feat1"], tmp_path / "cam.png")
+        assert Path(out).stat().st_size > 1000
+
+    def test_perturb_grad_equals_activation_grad(self):
+        """The perturbation trick must equal an analytic activation grad."""
+        from flax import linen as nn
+
+        class Toy(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=True, capture=False):
+                h = nn.Dense(4, use_bias=False)(x)
+                h = self.perturb("h", h)
+                out = jnp.sum(h**2)
+                if capture:
+                    return out, [h]
+                return out
+
+        m = Toy()
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3)).astype(np.float32))
+        v = m.init(jax.random.key(0), x)
+
+        def score(p):
+            return m.apply({"params": v["params"], "perturbations": p}, x)
+
+        g = jax.grad(score)(v["perturbations"])
+        _, (h,) = m.apply({"params": v["params"]}, x, capture=True)
+        np.testing.assert_allclose(np.asarray(g["h"]), 2 * np.asarray(h), atol=1e-5)
+
+
+class TestAttention:
+    def test_capture_swin(self):
+        model = SwinUNETR(
+            out_channels=2, feature_size=4, depths=(1, 1, 1, 1),
+            num_heads=(1, 1, 1, 1), window_size=(2, 2, 2),
+        )
+        x = jnp.zeros((1, 32, 32, 32, 1))
+        variables = model.init(jax.random.key(0), x, train=False)
+        viz = AttentionVisualizer(model, variables)
+        captured = viz.capture(x)
+        attn_keys = [k for k in captured if "attn_probs" in k]
+        assert len(attn_keys) == 4  # one per stage
+        a = captured[attn_keys[0]]
+        assert a.ndim == 4 and a.shape[-1] == 8  # window 2^3 tokens
+
+    def test_visualize(self, tmp_path):
+        model = SwinUNETR(
+            out_channels=2, feature_size=4, depths=(1, 1, 1, 1),
+            num_heads=(2, 2, 2, 2), window_size=(2, 2, 2),
+        )
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, 32, 32, 32, 1)).astype(np.float32)
+        )
+        variables = model.init(jax.random.key(0), x, train=False)
+        written = AttentionVisualizer(model, variables).visualize(x, tmp_path)
+        assert len(written) >= 1
+        for f in written:
+            assert Path(f).exists()
+
+
+class TestSHAP:
+    def test_gradient_shap(self, unet_setup):
+        model, variables, x = unet_setup
+        shap = SHAPAnalyzer(model, variables, n_steps=5)
+        attr = shap.gradient_shap(x, class_idx=1)
+        assert attr.shape == x.shape
+        assert np.all(np.isfinite(attr))
+
+    def test_integrated_gradients_completeness(self, unet_setup):
+        """IG should roughly satisfy sum(attr) ≈ F(x) − F(baseline)."""
+        model, variables, x = unet_setup
+        shap = SHAPAnalyzer(model, variables, n_steps=64)
+        attr = shap.integrated_gradients(x, class_idx=1)
+
+        def score(xx):
+            out = model.apply({"params": variables["params"]}, xx, train=False)
+            return float(jnp.sum(out[..., 1]))
+
+        baseline = np.broadcast_to(
+            np.asarray(x).mean(axis=(1, 2, 3), keepdims=True), x.shape
+        )
+        diff = score(jnp.asarray(x)) - score(jnp.asarray(baseline))
+        assert attr.sum() == pytest.approx(diff, rel=0.08)
+
+    def test_visualize(self, unet_setup, tmp_path):
+        model, variables, x = unet_setup
+        shap = SHAPAnalyzer(model, variables, n_steps=4)
+        attr = shap.gradient_shap(x)
+        out = shap.visualize(x, attr, tmp_path / "shap.png")
+        assert Path(out).stat().st_size > 1000
+
+
+class TestTSNE:
+    def test_visualize(self, unet_setup, tmp_path):
+        model, variables, _ = unet_setup
+        rng = np.random.default_rng(0)
+        samples = [
+            {
+                "image": rng.normal(size=(8, 8, 8, 2)).astype(np.float32),
+                "label": rng.integers(0, 3, (8, 8, 8)),
+            }
+            for _ in range(8)
+        ]
+        viz = TSNEVisualizer(model, variables, perplexity=3)
+        out = viz.visualize(samples, tmp_path / "tsne.png")
+        assert Path(out).stat().st_size > 1000
