@@ -57,10 +57,12 @@ def main():
     # Reduce to a scalar on device and fetch 4 bytes: on the axon relay,
     # block_until_ready() does not actually block, and fetching the full
     # logits volume through the tunnel is not the measured workload.
+    # The volume MUST be a jit argument — closing over it embeds a 75MB
+    # constant in the HLO (the remote compiler rejects it with HTTP 413).
     @jax.jit
-    def run(v):
+    def run(v, vol):
         logits = sliding_window_inference(
-            volume,
+            vol,
             predict_fn,
             roi_size=roi,
             num_classes=num_classes,
@@ -72,13 +74,13 @@ def main():
         return jnp.sum(jnp.argmax(logits, axis=-1).astype(jnp.int32))
 
     # warmup/compile (value fetch forces completion)
-    float(run(variables))
+    float(run(variables, volume))
 
     # timed steady-state
     n_iters = 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        float(run(variables))
+        float(run(variables, volume))
     dt = (time.perf_counter() - t0) / n_iters
 
     vols_per_min = 60.0 / dt

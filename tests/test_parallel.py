@@ -1,0 +1,133 @@
+"""Parallelism tests on the virtual 8-device CPU mesh.
+
+The standard JAX answer to "test multi-node without a cluster"
+(SURVEY.md §4): psum-equivalence of the sharded train step, mesh
+construction, sharded eval reductions, and the graft dryrun.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_organ_segmentation_tpu.models.unet3d import UNet3D
+from multimodal_organ_segmentation_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate_tree,
+    shard_batch,
+)
+from multimodal_organ_segmentation_tpu.train.losses import dice_ce_loss
+from multimodal_organ_segmentation_tpu.train.optim import make_optimizer
+from multimodal_organ_segmentation_tpu.train.trainer import TrainState, make_train_step
+from multimodal_organ_segmentation_tpu.utils.config import ConfigNode, default_config
+
+
+def _devices():
+    return jax.devices()
+
+
+class TestMesh:
+    def test_make_mesh_default(self):
+        cfg = ConfigNode({"parallel": {"mesh": {"data": -1, "model": 1}}})
+        mesh = make_mesh(cfg)
+        assert mesh.shape["data"] == len(_devices())
+        assert mesh.shape["model"] == 1
+
+    def test_make_mesh_2d(self):
+        if len(_devices()) < 8:
+            pytest.skip("needs 8 devices")
+        cfg = ConfigNode({"parallel": {"mesh": {"data": 4, "model": 2}}})
+        mesh = make_mesh(cfg)
+        assert mesh.shape == {"data": 4, "model": 2}
+
+    def test_bad_mesh(self):
+        cfg = ConfigNode({"parallel": {"mesh": {"data": 3, "model": 5}}})
+        with pytest.raises(ValueError):
+            make_mesh(cfg)
+
+    def test_shard_batch(self):
+        mesh = make_mesh(None)
+        n = mesh.shape["data"]
+        batch = {"image": np.zeros((n * 2, 4, 4, 4, 1)), "patient_id": ["a"] * n}
+        out = shard_batch(batch, mesh)
+        assert out["image"].sharding.spec == P("data", None, None, None, None)
+        assert out["patient_id"] == ["a"] * n
+
+
+class TestShardedTrainStep:
+    def _setup(self, accum=2, micro=8):
+        model = UNet3D(out_channels=3, features=(4, 8))
+        cfg = default_config()
+        cfg.set("training.optimizer.name", "adamw")
+        tx = make_optimizer(cfg)
+        rng = np.random.default_rng(0)
+        images = rng.normal(size=(accum, micro, 8, 8, 8, 1)).astype(np.float32)
+        labels = rng.integers(0, 3, size=(accum, micro, 8, 8, 8)).astype(np.int32)
+        x0 = jnp.zeros((1, 8, 8, 8, 1))
+        variables = dict(model.init(jax.random.key(0), x0, train=False))
+        params = variables.pop("params")
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            extra={},
+        )
+        loss_fn = lambda lg, lb: dice_ce_loss(lg, lb)
+        step = make_train_step(model, tx, loss_fn, accum_steps=accum)
+        return model, state, step, images, labels
+
+    def test_sharded_equals_single_device(self):
+        """DP-sharded step must produce the same loss and params as the
+        unsharded step (psum equivalence)."""
+        model, state, step, images, labels = self._setup()
+
+        # single-device (replicated) run
+        s1, m1 = step(state, jnp.asarray(images), jnp.asarray(labels), jax.random.key(1))
+
+        # sharded run (fresh but identically-seeded state)
+        _, state2, step2, _, _ = self._setup()
+        mesh = make_mesh(None)
+        state2 = replicate_tree(state2, mesh)
+        spec = lambda nd: NamedSharding(mesh, P(*([None, "data"] + [None] * (nd - 2))))
+        im = jax.device_put(images, spec(images.ndim))
+        lb = jax.device_put(labels, spec(labels.ndim))
+        s2, m2 = step2(state2, im, lb, jax.random.key(1))
+
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+        l1 = jax.tree_util.tree_leaves(s1.params)
+        l2 = jax.tree_util.tree_leaves(s2.params)
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_sharded_metric_reduction(self):
+        """Device-side dice accumulators reduce correctly over a sharded batch."""
+        from multimodal_organ_segmentation_tpu.train.metrics import _dice_update
+
+        mesh = make_mesh(None)
+        n = mesh.shape["data"]
+        rng = np.random.default_rng(0)
+        pred = rng.integers(0, 4, size=(n * 2, 6, 6, 6))
+        tgt = rng.integers(0, 4, size=(n * 2, 6, 6, 6))
+
+        i_ref, u_ref = _dice_update(jnp.asarray(pred), jnp.asarray(tgt), 4)
+
+        sh = NamedSharding(mesh, P("data"))
+        i_sh, u_sh = _dice_update(
+            jax.device_put(jnp.asarray(pred), sh), jax.device_put(jnp.asarray(tgt), sh), 4
+        )
+        np.testing.assert_allclose(np.asarray(i_sh), np.asarray(i_ref), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), rtol=1e-6)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(len(_devices()))
