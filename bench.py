@@ -52,7 +52,11 @@ def main():
     def predict_fn(v, patches):
         return model.apply(v, patches, train=False)
 
-    volume = jnp.asarray(rng.normal(size=(*vol_shape, 2)).astype(np.float32))
+    # generate the volume ON DEVICE: host→device bulk transfer through the
+    # axon relay is ~0.1 MB/s, a 75MB upload would dominate the bench
+    volume = jax.jit(
+        lambda key: jax.random.normal(key, (*vol_shape, 2), jnp.float32)
+    )(jax.random.key(1))
 
     # Reduce to a scalar on device and fetch 4 bytes: on the axon relay,
     # block_until_ready() does not actually block, and fetching the full
