@@ -86,6 +86,52 @@ def center_crop(sample: Sample, size: Tuple[int, int, int]) -> Sample:
     return out
 
 
+def normalize(
+    image: jax.Array,
+    mean: Optional[float] = None,
+    std: Optional[float] = None,
+    per_channel: bool = True,
+) -> jax.Array:
+    """Z-score normalization (reference: transforms.py:253-298)."""
+    if per_channel:
+        axes = tuple(range(image.ndim - 1))
+        m = jnp.mean(image, axis=axes) if mean is None else jnp.asarray(mean)
+        s = (jnp.std(image, axis=axes) + 1e-8) if std is None else jnp.asarray(std)
+        return (image - m) / s
+    m = jnp.mean(image) if mean is None else mean
+    s = (jnp.std(image) + 1e-8) if std is None else std
+    return (image - m) / s
+
+
+def clip_intensity(
+    image: jax.Array,
+    min_val: Optional[float] = None,
+    max_val: Optional[float] = None,
+    percentile: Optional[Tuple[float, float]] = None,
+) -> jax.Array:
+    """Clip intensities, optionally by percentiles
+    (reference: transforms.py:301-334)."""
+    if percentile is not None:
+        lo = jnp.percentile(image, percentile[0])
+        hi = jnp.percentile(image, percentile[1])
+    else:
+        lo = jnp.min(image) if min_val is None else min_val
+        hi = jnp.max(image) if max_val is None else max_val
+    return jnp.clip(image, lo, hi)
+
+
+def scale_intensity(image: jax.Array, per_channel: bool = True) -> jax.Array:
+    """Min-max scale to [0, 1] (reference: transforms.py:337-359)."""
+    if per_channel:
+        axes = tuple(range(image.ndim - 1))
+        lo = jnp.min(image, axis=axes)
+        hi = jnp.max(image, axis=axes)
+    else:
+        lo, hi = jnp.min(image), jnp.max(image)
+    rng = hi - lo
+    return jnp.where(rng > 1e-8, (image - lo) / jnp.maximum(rng, 1e-8), image)
+
+
 # ---------------------------------------------------------------------------
 # random transforms (explicit keys)
 # ---------------------------------------------------------------------------

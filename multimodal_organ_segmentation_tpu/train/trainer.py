@@ -279,13 +279,22 @@ class Trainer:
                 self.model, self.tx, self.loss_fn, self.accum_steps
             )
 
+        profile_dir = self.config.get("hardware.profile_dir")
         for epoch in range(self.current_epoch, self.epochs):
             self.current_epoch = epoch
             lr = self.scheduler.lr_for_epoch(epoch, metric=prev_metric)
 
+            # jax.profiler trace of one epoch when requested (SURVEY.md §5:
+            # the reference has no tracing at all)
+            if profile_dir and epoch == int(self.config.get("hardware.profile_epoch", 1)):
+                jax.profiler.start_trace(str(profile_dir))
+
             t0 = time.perf_counter()
             train_loss = self._train_epoch(lr)
             self.history["train_loss"].append(train_loss)
+
+            if profile_dir and epoch == int(self.config.get("hardware.profile_epoch", 1)):
+                jax.profiler.stop_trace()
 
             val_loss, val_metrics = self._validate()
             self.history["val_loss"].append(val_loss)
