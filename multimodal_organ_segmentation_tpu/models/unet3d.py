@@ -39,6 +39,9 @@ class UNet3D(nn.Module):
     # JAX replacement for the reference's torch backward hooks
     # (gradcam.py:44-59)
     enable_perturb: bool = False
+    # tensor parallelism: mesh axis to shard activation channels over
+    # (requires an active mesh context; GSPMD inserts the collectives)
+    tp_axis: Any = None
 
     @nn.compact
     def __call__(
@@ -49,6 +52,8 @@ class UNet3D(nn.Module):
     ) -> Union[jax.Array, Tuple[jax.Array, List[jax.Array]]]:
         feats = list(self.features)
         x = x.astype(self.dtype)
+
+        from multimodal_organ_segmentation_tpu.parallel.mesh import constrain_channels
 
         x = ConvBlock3D(feats[0], norm=self.norm, dtype=self.dtype, name="init_conv")(
             x, train
@@ -61,6 +66,7 @@ class UNet3D(nn.Module):
             x, _ = DownBlock3D(
                 feats[i + 1], norm=self.norm, dtype=self.dtype, name=f"down{i}"
             )(x, train)
+            x = constrain_channels(x, self.tp_axis)
             if self.enable_perturb:
                 x = self.perturb(f"feat{i + 1}", x)
             encoder_features.append(x)

@@ -73,3 +73,17 @@ def replicate_tree(tree, mesh: Mesh):
     """Replicate a pytree of arrays across the mesh."""
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def constrain_channels(x, axis: Optional[str]):
+    """Tensor parallelism: constrain the channel (last) dim of an
+    activation to a mesh axis. GSPMD then partitions the producing/
+    consuming matmuls channel-wise and inserts the collectives. No-op when
+    ``axis`` is None or no mesh context is active."""
+    if axis is None:
+        return x
+    try:
+        spec = P(*([None] * (x.ndim - 1) + [axis]))
+        return jax.lax.with_sharding_constraint(x, spec)
+    except Exception:
+        return x
