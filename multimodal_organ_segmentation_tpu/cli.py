@@ -153,9 +153,12 @@ def run_preprocess(config, logger) -> None:
         mod_out = os.path.join(output_path, modality)
         if os.path.exists(mod_in):
             logger.info(f"Processing {modality}")
-            converter.convert(mod_in, mod_out, modality=modality)
-            if modality == "PET":
-                suv_calc.calculate(mod_in, mod_out)
+            nifti_path = converter.convert(mod_in, mod_out, modality=modality)
+            if modality == "PET" and nifti_path is not None:
+                # SUV from the converted volume + its saved metadata
+                # (the reference passes the raw DICOM dir here, which its
+                # own nib.load would reject — conscious fix)
+                suv_calc.calculate(nifti_path, mod_out)
 
     if len(modalities) > 1 and bool(config.get("data.registration.enabled", False)):
         logger.info("Registering images")

@@ -99,8 +99,11 @@ class GradCAM:
         grads = self._gradients(x, class_idx)
         cams = {}
         for target in self.target_layers:
-            gname = next((n for n in grads if target in n), None)
-            act = acts.get(target)
+            gname = next((n for n in grads if target in n or n in target), None)
+            # activations are keyed by the short perturbation name
+            # ("feat1"), grads by the full path ("backbone/feat1")
+            short = target.split("/")[-1]
+            act = acts.get(short, acts.get(target))
             if gname is None or act is None:
                 continue
             grad = grads[gname]

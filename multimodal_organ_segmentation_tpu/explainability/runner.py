@@ -81,9 +81,10 @@ def run_explainability(config, checkpoint, input_path, output_path, logger=None)
             if targets:
                 cam = GradCAM(model, variables, targets).generate(x, class_idx=1)
                 for layer, vol in cam.items():
-                    out = output_path / f"{case}_gradcam_{layer}.png"
+                    safe = layer.replace("/", "_")
+                    out = output_path / f"{case}_gradcam_{safe}.png"
                     visualize_gradcam(image_r, vol, out)
-                    save_nifti(vol, output_path / f"{case}_gradcam_{layer}.nii.gz")
+                    save_nifti(vol, output_path / f"{case}_gradcam_{safe}.nii.gz")
                     written["gradcam"].append(str(out))
 
         if bool(cfg.get("explainability.attention_maps.enabled", False)):

@@ -1,0 +1,149 @@
+"""End-to-end pipeline test: DICOM → preprocess → train → inference →
+analysis → explain, all through the CLI entry points.
+
+This is the full reference workflow (SURVEY.md §3) on synthetic data.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from multimodal_organ_segmentation_tpu import cli
+from multimodal_organ_segmentation_tpu.preprocessing import dicom as dcm
+from multimodal_organ_segmentation_tpu.data.synthetic import generate_synthetic_dataset
+from multimodal_organ_segmentation_tpu.utils.config import load_config
+from multimodal_organ_segmentation_tpu.utils.io import load_nifti
+
+CONFIG = str(Path(__file__).resolve().parents[1] / "configs" / "tiny_cpu.yaml")
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("e2e")
+
+
+@pytest.mark.e2e
+class TestFullPipeline:
+    def test_1_preprocess_from_dicom(self, workdir):
+        """DICOM series → NIfTI + SUV via --mode preprocess."""
+        raw = workdir / "raw"
+        rng = np.random.default_rng(0)
+        # CT series
+        for i in range(4):
+            dcm.dcmwrite(
+                raw / "CT" / f"ct_{i:03d}.dcm",
+                {
+                    "Modality": "CT", "PatientID": "P1", "InstanceNumber": i + 1,
+                    "ImagePositionPatient": [0.0, 0.0, i * 2.0],
+                    "PixelSpacing": [1.0, 1.0], "SliceThickness": 2.0,
+                    "RescaleSlope": 1.0, "RescaleIntercept": -1024.0,
+                    "Rows": 16, "Columns": 16, "BitsAllocated": 16,
+                },
+                pixel_array=rng.integers(0, 2000, (16, 16)).astype(np.uint16),
+            )
+        # PET series with radiopharmaceutical info
+        for i in range(4):
+            dcm.dcmwrite(
+                raw / "PET" / f"pt_{i:03d}.dcm",
+                {
+                    "Modality": "PT", "PatientID": "P1", "InstanceNumber": i + 1,
+                    "PatientWeight": 70.0, "PatientSize": 1.75, "PatientSex": "M",
+                    "AcquisitionTime": "090000", "SeriesTime": "090000",
+                    "PixelSpacing": [1.0, 1.0], "SliceThickness": 2.0,
+                    "RescaleSlope": 0.1, "RescaleIntercept": 0.0,
+                    "Rows": 16, "Columns": 16, "BitsAllocated": 16,
+                    "RadiopharmaceuticalInformationSequence": [
+                        {"RadionuclideTotalDose": 3.7e8,
+                         "RadionuclideHalfLife": 6586.2,
+                         "RadiopharmaceuticalStartTime": "080000"}
+                    ],
+                },
+                pixel_array=rng.integers(0, 5000, (16, 16)).astype(np.uint16),
+            )
+
+        processed = workdir / "processed"
+        cli.main([
+            "--mode", "preprocess", "--config", CONFIG, "--device", "cpu",
+            "--input", str(raw), "--output", str(processed),
+        ])
+        assert (processed / "CT" / "ct.nii.gz").exists()
+        assert (processed / "PET" / "pet.nii.gz").exists()
+        assert (processed / "PET" / "pet_suv_bw.nii.gz").exists()
+        ct = load_nifti(processed / "CT" / "ct.nii.gz")
+        assert ct.shape == (16, 16, 4)
+        assert ct.min() < -500  # rescale applied
+
+    def test_2_train(self, workdir, monkeypatch):
+        generate_synthetic_dataset(
+            workdir / "data", n_train=4, n_val=2, n_test=2,
+            shape=(32, 32, 32), num_classes=4, seed=0,
+        )
+        monkeypatch.chdir(workdir)
+        cfg = load_config(CONFIG)
+        # rewrite paths into the workdir
+        import yaml
+
+        raw = cfg.to_dict()
+        raw["data"]["data_root"] = str(workdir / "data")
+        raw["experiment"]["output_dir"] = str(workdir / "outputs")
+        raw["experiment"]["log_dir"] = str(workdir / "logs")
+        with open(workdir / "cfg.yaml", "w") as f:
+            yaml.safe_dump(raw, f)
+
+        cli.main(["--mode", "train", "--config", str(workdir / "cfg.yaml"),
+                  "--device", "cpu", "--epochs", "2"])
+        assert (workdir / "outputs" / "tiny_cpu" / "best" / "meta.json").exists()
+
+    def test_3_eval(self, workdir, monkeypatch):
+        monkeypatch.chdir(workdir)
+        cli.main(["--mode", "eval", "--config", str(workdir / "cfg.yaml"),
+                  "--device", "cpu",
+                  "--checkpoint", str(workdir / "outputs" / "tiny_cpu" / "best")])
+
+    def test_4_inference(self, workdir, monkeypatch):
+        monkeypatch.chdir(workdir)
+        # inference layout {input}/{mod}/case.nii.gz from test data
+        import shutil
+
+        for mod in ["ct", "pet"]:
+            d = workdir / "infer_in" / mod
+            d.mkdir(parents=True, exist_ok=True)
+            shutil.copy(
+                workdir / "data" / "test" / "test_000" / f"{mod}.nii.gz",
+                d / "case1.nii.gz",
+            )
+        cli.main(["--mode", "inference", "--config", str(workdir / "cfg.yaml"),
+                  "--device", "cpu",
+                  "--checkpoint", str(workdir / "outputs" / "tiny_cpu" / "best"),
+                  "--input", str(workdir / "infer_in"),
+                  "--output", str(workdir / "preds")])
+        pred = load_nifti(workdir / "preds" / "case1_pred.nii.gz", dtype=np.uint8)
+        assert pred.shape == (32, 32, 32)
+
+    def test_5_analysis(self, workdir, monkeypatch):
+        monkeypatch.chdir(workdir)
+        # analysis needs an SUV volume next to the prediction
+        import shutil
+
+        shutil.copy(
+            workdir / "data" / "test" / "test_000" / "pet.nii.gz",
+            workdir / "preds" / "pet_suv_bw.nii.gz",
+        )
+        cli.main(["--mode", "analysis", "--config", str(workdir / "cfg.yaml"),
+                  "--device", "cpu",
+                  "--input", str(workdir / "preds"),
+                  "--output", str(workdir / "analysis"),
+                  "--generate-report"])
+        assert (workdir / "analysis" / "tmtv_analysis.csv").exists()
+        assert (workdir / "analysis" / "report.html").exists()
+
+    def test_6_explain(self, workdir, monkeypatch):
+        monkeypatch.chdir(workdir)
+        cli.main(["--mode", "explain", "--config", str(workdir / "cfg.yaml"),
+                  "--device", "cpu",
+                  "--checkpoint", str(workdir / "outputs" / "tiny_cpu" / "best"),
+                  "--input", str(workdir / "infer_in"),
+                  "--output", str(workdir / "explain")])
+        out = list((workdir / "explain").glob("*gradcam*.png"))
+        assert out, "gradcam figure not written"
