@@ -109,8 +109,9 @@ class AttentionFusion(nn.Module):
         w = nn.Dense(m, dtype=self.dtype)(h)
         w = jax.nn.softmax(w, axis=-1)  # [B, M]
         # modality weights for the AttentionVisualizer (no-op unless
-        # "intermediates" is mutable)
-        self.sow("intermediates", "modality_weights", w)
+        # "intermediates" is mutable; never during init — see swin_unetr)
+        if not self.is_initializing():
+            self.sow("intermediates", "modality_weights", w)
         stacked = jnp.stack(features, axis=1)  # [B, M, H, W, D, C]
         w = w[:, :, None, None, None, None]
         return jnp.sum(stacked * w, axis=1)

@@ -185,8 +185,11 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(b_, self.num_heads, n, n)
         attn = jax.nn.softmax(attn, axis=-1)
         # expose attention probabilities to the AttentionVisualizer; no-op
-        # unless apply() passes mutable=["intermediates"]
-        self.sow("intermediates", "attn_probs", attn)
+        # unless apply() passes mutable=["intermediates"]. Never during
+        # init — everything is mutable there, and sowing would bake huge
+        # prob tensors into the returned variables.
+        if not self.is_initializing():
+            self.sow("intermediates", "attn_probs", attn)
         if self.attn_drop > 0:
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
 

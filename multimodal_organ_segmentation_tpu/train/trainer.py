@@ -206,7 +206,13 @@ class Trainer:
         variables = self.model.init(self.keys.next(), x, train=False)
         variables = dict(variables)
         params = variables.pop("params")
-        extra = {k: v for k, v in variables.items()}
+        # state carries only persistent collections (e.g. batch_stats);
+        # ephemeral captures must never enter the train state
+        extra = {
+            k: v
+            for k, v in variables.items()
+            if k not in ("intermediates", "perturbations")
+        }
         opt_state = self.tx.init(params)
         state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
