@@ -27,12 +27,18 @@ from multimodal_organ_segmentation_tpu.models.swin_unetr import (
     SwinUNETR,
     build_swin_unetr,
 )
+from multimodal_organ_segmentation_tpu.models.attention_unet import (
+    AttentionUNet3D,
+    build_attention_unet,
+)
 
 MODEL_REGISTRY: Dict[str, Callable] = {
     "swin_unetr": build_swin_unetr,
     "unet": build_unet3d,
     "unet3d": build_unet3d,
-    "attention_unet": build_unet3d,  # CLI alias (reference main.py:164)
+    # real attention-gated UNet (the reference CLI advertises this name but
+    # its registry never implements it, build.py:16-21)
+    "attention_unet": build_attention_unet,
     "dual_encoder": build_dual_encoder,
 }
 

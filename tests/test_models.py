@@ -300,3 +300,55 @@ class TestBuildModel:
         assert all(l.dtype == jnp.float32 for l in leaves)
         out = model.apply(variables, x, train=False)
         assert out.dtype == jnp.float32
+
+
+class TestAttentionUNet:
+    def test_forward_shape(self):
+        from multimodal_organ_segmentation_tpu.models.attention_unet import (
+            AttentionUNet3D,
+        )
+
+        model = AttentionUNet3D(out_channels=4, features=(4, 8, 16))
+        x = jnp.zeros((1, 16, 16, 16, 2))
+        out, _ = _init_and_run(model, x)
+        assert out.shape == (1, 16, 16, 16, 4)
+
+    def test_registry(self):
+        from multimodal_organ_segmentation_tpu.utils.config import ConfigNode
+
+        cfg = ConfigNode(
+            {
+                "data": {"modalities": ["CT"]},
+                "model": {
+                    "name": "attention_unet",
+                    "out_channels": 3,
+                    "backbone": {"features": [4, 8]},
+                    "head": {"dropout": 0.0},
+                },
+                "hardware": {"mixed_precision": "none"},
+            }
+        )
+        model = build_model(cfg)
+        x = jnp.zeros((1, 8, 8, 8, 1))
+        variables = model.init(jax.random.key(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (1, 8, 8, 8, 3)
+
+    def test_grad_finite(self):
+        from multimodal_organ_segmentation_tpu.models.attention_unet import (
+            AttentionUNet3D,
+        )
+
+        model = AttentionUNet3D(out_channels=2, features=(4, 8))
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 8, 8, 8, 1)).astype(np.float32)
+        )
+        variables = model.init(jax.random.key(0), x, train=False)
+
+        def loss(params):
+            return jnp.mean(model.apply({"params": params}, x, train=False) ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        assert all(
+            np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g)
+        )
