@@ -68,7 +68,7 @@ def _relative_position_index(window: Tuple[int, int, int]) -> np.ndarray:
     )  # [3, wh, ww, wd]
     flat = coords.reshape(3, -1)  # [3, N]
     rel = flat[:, :, None] - flat[:, None, :]  # [3, N, N]
-    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel = rel.transpose(1, 2, 0).astype(np.int32)
     rel[:, :, 0] += wh - 1
     rel[:, :, 1] += ww - 1
     rel[:, :, 2] += wd - 1
@@ -81,28 +81,34 @@ def _shift_attention_mask(
     dims: Tuple[int, int, int],
     window: Tuple[int, int, int],
     shift: Tuple[int, int, int],
-) -> np.ndarray:
-    """Additive [nW, N, N] mask forbidding attention across rolled borders."""
+) -> jax.Array:
+    """Additive [nW, N, N] mask forbidding attention across rolled borders.
+
+    Computed with device ops at trace time — materializing this as a host
+    constant would embed ~160MB into the HLO at stage 1 of a 96³ model
+    (343 windows × 343² floats), blowing up compile times and program-size
+    limits.
+    """
     h, w, d = dims
     wh, ww, wd = window
 
-    def axis_slices(win: int, s: int):
+    def axis_ids(size: int, win: int, s: int) -> jax.Array:
+        pos = jnp.arange(size)
         if s == 0:
-            return [slice(None)]
-        return [slice(0, -win), slice(-win, -s), slice(-s, None)]
+            return jnp.zeros((size,), jnp.int32)
+        return (pos >= size - win).astype(jnp.int32) + (
+            pos >= size - s
+        ).astype(jnp.int32)
 
-    img = np.zeros((1, h, w, d, 1), dtype=np.float32)
-    cnt = 0
-    for hs in axis_slices(wh, shift[0]):
-        for ws in axis_slices(ww, shift[1]):
-            for ds in axis_slices(wd, shift[2]):
-                img[:, hs, ws, ds, :] = cnt
-                cnt += 1
-    # partition into windows (numpy mirror of window_partition)
-    x = img.reshape(1, h // wh, wh, w // ww, ww, d // wd, wd, 1)
-    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, wh * ww * wd)
-    diff = x[:, None, :] - x[:, :, None]
-    return np.where(diff != 0, -1e9, 0.0).astype(np.float32)
+    ids = (
+        axis_ids(h, wh, shift[0])[:, None, None] * 9
+        + axis_ids(w, ww, shift[1])[None, :, None] * 3
+        + axis_ids(d, wd, shift[2])[None, None, :]
+    )  # [H, W, D]
+    ids = window_partition(ids[None, ..., None].astype(jnp.float32), window)[..., 0]
+    # ids: [nW, N]
+    diff = ids[:, None, :] - ids[:, :, None]
+    return jnp.where(diff != 0, -1e9, 0.0).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -235,7 +241,7 @@ class SwinBlock(nn.Module):
 
         if any(shift):
             y = jnp.roll(y, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
-            mask = jnp.asarray(_shift_attention_mask((hp, wp, dp), window, shift))
+            mask = _shift_attention_mask((hp, wp, dp), window, shift)
         else:
             mask = None
 
