@@ -424,6 +424,7 @@ class Trainer:
         overlap = float(sw_cfg.get("overlap", 0.5))
         mode = str(sw_cfg.get("mode", "gaussian"))
         sw_batch = int(self.config.get("inference.batch_size", 4))
+        tta = bool(self.config.get("inference.tta", False))
 
         cases = self._discover_cases(input_path)
         if self.logger:
@@ -453,16 +454,27 @@ class Trainer:
                     image, list(self.config.get("data.modalities")), pc
                 )
 
-            logits = sliding_window_inference(
-                image,
-                predict_fn,
-                roi_size=roi,
-                num_classes=self.num_classes,
-                overlap=overlap,
-                sw_batch_size=sw_batch,
-                mode=mode,
-                params=variables,
-            )
+            def run_sw(vol):
+                return sliding_window_inference(
+                    vol,
+                    predict_fn,
+                    roi_size=roi,
+                    num_classes=self.num_classes,
+                    overlap=overlap,
+                    sw_batch_size=sw_batch,
+                    mode=mode,
+                    params=variables,
+                )
+
+            logits = run_sw(image)
+            if tta:
+                # flip TTA (reference declares inference.tta but never
+                # implements it): average logits over the 3 single-axis
+                # spatial flips, un-flipping each prediction
+                for axis in range(3):
+                    flipped = jnp.flip(image, axis=axis)
+                    logits = logits + jnp.flip(run_sw(flipped), axis=axis)
+                logits = logits / 4.0
             pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
             out_file = Path(output_path) / f"{case}_pred.nii.gz"
             save_nifti(pred, out_file, affine=affine)

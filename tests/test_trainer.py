@@ -173,3 +173,27 @@ class TestEndToEnd:
         assert pred.shape == (20, 20, 20)
         assert pred.dtype == np.uint8
         assert np.allclose(aff, np.diag([1.5, 1.5, 2.0, 1.0]))
+
+
+class TestTTA:
+    def test_tta_predict(self, tiny_cfg, tmp_path):
+        """Flip TTA produces a valid prediction; on a flip-equivariant-ish
+        random init it should still write correct shapes."""
+        from multimodal_organ_segmentation_tpu.utils.io import load_nifti, save_nifti
+
+        rng = np.random.default_rng(0)
+        for mod in ["ct", "pet"]:
+            d = tmp_path / "in" / mod
+            d.mkdir(parents=True)
+            save_nifti(
+                rng.normal(size=(16, 16, 16)).astype(np.float32),
+                d / "c.nii.gz",
+            )
+        cfg = tiny_cfg.copy()
+        cfg.set("inference.sliding_window.roi_size", [16, 16, 16])
+        cfg.set("inference.tta", True)
+        trainer = Trainer(cfg)
+        trainer.init_state(np.zeros((16, 16, 16, 2), np.float32))
+        written = trainer.predict(tmp_path / "in", tmp_path / "out")
+        pred = load_nifti(written[0], dtype=np.uint8)
+        assert pred.shape == (16, 16, 16)
