@@ -1,0 +1,143 @@
+"""Behavioral parity: train the reference (torch) and our framework on the
+same synthetic dataset with the same hyperparameters and compare learning.
+
+The reference runs unmodified through a nibabel shim backed by our NIfTI
+codec. This is the Dice-parity strategy of SURVEY.md §6: no published
+numbers exist, so the reference itself is the fixture.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from multimodal_organ_segmentation_tpu.data.synthetic import generate_synthetic_dataset
+from multimodal_organ_segmentation_tpu.utils.config import default_config
+
+torch = pytest.importorskip("torch")
+
+from tests import nibabel_shim  # noqa: E402
+
+nibabel_shim.install()
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+def _shared_config(root, out_dir):
+    """Config dict understood by BOTH frameworks (same schema)."""
+    return {
+        "experiment": {"name": "parity", "seed": 42,
+                        "output_dir": str(out_dir), "log_dir": str(out_dir)},
+        "data": {
+            "modalities": ["CT", "PET"],
+            "primary_modality": "CT",
+            "data_root": str(root),
+            "train_csv": "train.csv",
+            "val_csv": "val.csv",
+            "test_csv": "test.csv",
+            "preprocessing": {
+                "ct": {"window_center": -100, "window_width": 700, "normalize": True},
+                "pet": {"suv_type": "bw", "normalize": True},
+            },
+            "registration": {"enabled": False},
+            "augmentation": {"enabled": False},
+        },
+        "model": {
+            "name": "unet3d",
+            "in_channels": 2,
+            "out_channels": 4,
+            "backbone": {"features": [8, 16], "img_size": [24, 24, 24],
+                          "norm": "instance"},
+            "fusion": {"type": "early"},
+            "head": {"type": "conv", "dropout": 0.0},
+        },
+        "training": {
+            "epochs": 4,
+            "batch_size": 2,
+            "accumulation_steps": 1,
+            "optimizer": {"name": "adamw", "lr": 3.0e-3, "weight_decay": 1.0e-5},
+            "scheduler": {"name": "cosine", "warmup_epochs": 0, "min_lr": 1.0e-6},
+            "loss": {"name": "dice_ce", "dice_weight": 0.5, "ce_weight": 0.5},
+            "early_stopping": {"enabled": False},
+            "checkpoint": {"save_best": True, "save_last": True, "save_every": 100},
+        },
+        "inference": {"sliding_window": {"roi_size": [24, 24, 24], "overlap": 0.5,
+                                          "mode": "gaussian"}, "batch_size": 2},
+        "analysis": {"suv": {"enabled": False}, "tmtv": {"enabled": False},
+                      "histogram": {"enabled": False}},
+        "explainability": {"gradcam": {"enabled": False}},
+        "parallel": {"mesh": {"data": -1, "model": 1}},
+        "hardware": {"platform": "cpu", "num_workers": 0, "prefetch_depth": 1,
+                      "mixed_precision": "none", "device": "cpu",
+                      "pin_memory": False},
+    }
+
+
+@pytest.fixture(scope="module")
+def parity_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("parity_data")
+    generate_synthetic_dataset(
+        root, n_train=6, n_val=3, n_test=2, shape=(24, 24, 24),
+        num_classes=4, seed=0,
+    )
+    return root, tmp_path_factory.mktemp("parity_out")
+
+
+@pytest.mark.e2e
+class TestReferenceParity:
+    def _run_reference(self, cfg_dict):
+        """Train the reference implementation (unmodified, via shim)."""
+        from src.data import get_dataloader as ref_loader
+        from src.models import build_model as ref_build
+        from src.trainer import Trainer as RefTrainer
+
+        torch.manual_seed(42)
+        train_loader = ref_loader(cfg_dict, split="train")
+        val_loader = ref_loader(cfg_dict, split="val")
+        model = ref_build(cfg_dict)
+        trainer = RefTrainer(
+            config=cfg_dict, model=model,
+            train_loader=train_loader, val_loader=val_loader,
+        )
+        return trainer.train()
+
+    def _run_ours(self, cfg_dict):
+        from multimodal_organ_segmentation_tpu.data import get_dataloader
+        from multimodal_organ_segmentation_tpu.train.trainer import Trainer
+        from multimodal_organ_segmentation_tpu.utils.config import ConfigNode
+
+        cfg = ConfigNode(cfg_dict)
+        trainer = Trainer(
+            cfg,
+            train_loader=get_dataloader(cfg, split="train"),
+            val_loader=get_dataloader(cfg, split="val"),
+        )
+        return trainer.train()
+
+    def test_training_trajectories_match(self, parity_setup):
+        root, out = parity_setup
+        cfg = _shared_config(root, out)
+
+        ref_hist = self._run_reference(cfg)
+        our_hist = self._run_ours(cfg)
+
+        ref_dice = ref_hist["val_dice"]
+        our_dice = our_hist["val_dice"]
+        ref_loss = ref_hist["train_loss"]
+        our_loss = our_hist["train_loss"]
+
+        # both learn: loss strictly improves over training
+        assert ref_loss[-1] < ref_loss[0]
+        assert our_loss[-1] < our_loss[0]
+
+        # final validation dice within tolerance of each other (different
+        # init/RNG, same architecture+optimizer+data)
+        assert abs(our_dice[-1] - ref_dice[-1]) < 0.15, (
+            f"ours={our_dice[-1]:.4f} reference={ref_dice[-1]:.4f}"
+        )
+        # and our first-epoch loss magnitude matches the reference's
+        # (same loss definition on the same data)
+        assert abs(our_loss[0] - ref_loss[0]) < 0.25
