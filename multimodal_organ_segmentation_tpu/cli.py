@@ -154,6 +154,18 @@ def run_preprocess(config, logger) -> None:
         if os.path.exists(mod_in):
             logger.info(f"Processing {modality}")
             nifti_path = converter.convert(mod_in, mod_out, modality=modality)
+            if nifti_path is not None:
+                # spacing resample if configured (the reference declares
+                # target_spacing but never applies it)
+                spacing = config.get(
+                    f"data.preprocessing.{modality.lower()}.target_spacing"
+                )
+                if spacing:
+                    from multimodal_organ_segmentation_tpu.preprocessing.resample import (
+                        resample_file,
+                    )
+
+                    resample_file(nifti_path, nifti_path, list(spacing))
             if modality == "PET" and nifti_path is not None:
                 # SUV from the converted volume + its saved metadata
                 # (the reference passes the raw DICOM dir here, which its

@@ -126,6 +126,41 @@ class DataLoader:
         t.join()
 
 
+def device_prefetch(iterator, size: int = 2):
+    """Overlap host batch production with device compute: device_put each
+    batch's arrays ahead of consumption (keeps the accelerator fed)."""
+    import collections
+    import queue as _q
+    import threading as _t
+
+    buf: "_q.Queue" = _q.Queue(maxsize=size)
+    sentinel = object()
+
+    def produce():
+        try:
+            for batch in iterator:
+                out = {
+                    k: jax.device_put(np.asarray(v))
+                    if hasattr(v, "shape")
+                    else v
+                    for k, v in batch.items()
+                }
+                buf.put(out)
+        except Exception as e:
+            buf.put(e)
+        finally:
+            buf.put(sentinel)
+
+    _t.Thread(target=produce, daemon=True).start()
+    while True:
+        item = buf.get()
+        if item is sentinel:
+            return
+        if isinstance(item, Exception):
+            raise item
+        yield item
+
+
 def get_dataloader(config, split: str = "train", transform=None) -> DataLoader:
     """Loader factory (reference: dataloader.py:14-60): batch size from
     training config; shuffle/drop_last only for train."""

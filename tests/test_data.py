@@ -240,3 +240,23 @@ class TestSyntheticAndLoader:
         s = ds[0]
         assert s["image"].shape == (8, 8, 8, 2)
         assert "label" not in s
+
+
+class TestDevicePrefetch:
+    def test_prefetch_preserves_batches(self, tmp_path, default_cfg):
+        from multimodal_organ_segmentation_tpu.data import get_dataloader
+        from multimodal_organ_segmentation_tpu.data.dataloader import device_prefetch
+
+        generate_synthetic_dataset(
+            tmp_path, n_train=4, n_val=4, n_test=1, shape=(8, 8, 8), num_classes=3
+        )
+        cfg = default_cfg
+        cfg.set("data.data_root", str(tmp_path))
+        cfg.set("model.backbone.img_size", [8, 8, 8])
+        cfg.set("training.batch_size", 2)
+        loader = get_dataloader(cfg, split="val")  # no shuffle → stable order
+        direct = [np.asarray(b["image"]) for b in loader]
+        prefetched = [np.asarray(b["image"]) for b in device_prefetch(iter(loader))]
+        assert len(direct) == len(prefetched)
+        for a, b in zip(direct, prefetched):
+            np.testing.assert_allclose(a, b)

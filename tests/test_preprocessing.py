@@ -363,3 +363,39 @@ class TestRegistration:
         )
         applied = load_nifti(out)
         np.testing.assert_allclose(applied, warped, atol=1e-4)
+
+
+class TestResample:
+    def test_resample_spacing(self):
+        from multimodal_organ_segmentation_tpu.preprocessing.resample import (
+            resample_volume,
+            spacing_from_affine,
+        )
+
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=(20, 20, 10)).astype(np.float32)
+        affine = np.diag([1.0, 1.0, 4.0, 1.0])
+        out, new_aff = resample_volume(data, affine, (2.0, 2.0, 2.0))
+        assert out.shape == (10, 10, 20)
+        np.testing.assert_allclose(spacing_from_affine(new_aff), [2.0, 2.0, 2.0])
+
+    def test_resample_file_roundtrip(self, tmp_path):
+        from multimodal_organ_segmentation_tpu.preprocessing.resample import (
+            resample_file,
+        )
+
+        vol = np.random.default_rng(1).normal(size=(16, 16, 8)).astype(np.float32)
+        save_nifti(vol, tmp_path / "v.nii.gz", affine=np.diag([1.5, 1.5, 3.0, 1.0]))
+        out = resample_file(tmp_path / "v.nii.gz", tmp_path / "r.nii.gz", (1.5, 1.5, 1.5))
+        data, aff = load_nifti(out, return_affine=True)
+        assert data.shape == (16, 16, 16)
+
+    def test_label_resample_nearest(self):
+        from multimodal_organ_segmentation_tpu.preprocessing.resample import (
+            resample_volume,
+        )
+
+        lbl = np.random.default_rng(2).integers(0, 4, (12, 12, 12)).astype(np.int32)
+        out, _ = resample_volume(lbl, np.eye(4), (0.5, 0.5, 0.5), order=0)
+        assert out.shape == (24, 24, 24)
+        assert set(np.unique(out)) <= set(np.unique(lbl))
