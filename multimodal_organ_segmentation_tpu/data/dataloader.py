@@ -102,28 +102,48 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that aborts when the consumer abandoned the
+            # iterator (otherwise the producer thread blocks forever)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     for b in batches:
-                        samples = list(pool.map(self.dataset.__getitem__, [int(i) for i in b]))
-                        q.put(self.collate(samples))
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, [int(i) for i in b])
+                        )
+                        if not _put(self.collate(samples)):
+                            return
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                _put(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+            t.join()
+        finally:
+            stop.set()
 
 
 def device_prefetch(iterator, size: int = 2):

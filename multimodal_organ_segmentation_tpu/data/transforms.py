@@ -253,16 +253,30 @@ class TransformPipeline:
     """Composed jit transform ``(sample, key) → sample``.
 
     Compiled once per distinct input shape (medical cohorts have few).
+    Callers may pass an explicit key; otherwise the pipeline draws a fresh
+    key per call (thread-safe counter folded into a base key) so each
+    sample/epoch gets distinct augmentations.
     """
 
-    def __init__(self, fn: Callable[[Sample, jax.Array], Sample]):
+    def __init__(self, fn: Callable[[Sample, jax.Array], Sample], seed: int = 0):
+        import itertools
+        import threading
+
         self._fn = jax.jit(fn)
+        self._base_key = jax.random.key(seed)
+        self._counter = itertools.count()
+        self._lock = threading.Lock()
 
     _ARRAY_KEYS = ("image", "label")
 
+    def _next_key(self) -> jax.Array:
+        with self._lock:
+            i = next(self._counter)
+        return jax.random.fold_in(self._base_key, i)
+
     def __call__(self, sample: Sample, key: Optional[jax.Array] = None) -> Sample:
         if key is None:
-            key = jax.random.key(0)
+            key = self._next_key()
         arrays = {
             k: jnp.asarray(v) for k, v in sample.items() if k in self._ARRAY_KEYS
         }
@@ -306,4 +320,7 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
             out = resize_sample(out, img_size)
         return out
 
-    return TransformPipeline(fn)
+    seed = int(config.get("experiment.seed", 42))
+    # distinct base keys per split so val/test keys never collide with train
+    seed_offset = {"train": 0, "val": 1, "test": 2}.get(mode, 3)
+    return TransformPipeline(fn, seed=seed * 4 + seed_offset)

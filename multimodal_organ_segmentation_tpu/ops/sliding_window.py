@@ -128,14 +128,18 @@ def sliding_window_inference(
     ]
     n_tiles = len(starts)
     n_chunks = int(math.ceil(n_tiles / sw_batch_size))
-    # pad tile list to a whole number of chunks by repeating the last tile;
-    # duplicates are harmless (idempotent weighted accumulation uses the
-    # same weights, normalization divides them out)
-    while len(starts) < n_chunks * sw_batch_size:
+    # pad tile list to a whole number of chunks; padded slots are masked to
+    # zero contribution (repeating a tile unmasked would double its
+    # Gaussian weight and change blended logits vs MONAI)
+    n_padded = n_chunks * sw_batch_size
+    valid = np.zeros((n_padded,), dtype=np.float32)
+    valid[:n_tiles] = 1.0
+    while len(starts) < n_padded:
         starts.append(starts[-1])
     starts_arr = jnp.asarray(np.asarray(starts, dtype=np.int32)).reshape(
         n_chunks, sw_batch_size, 3
     )
+    valid_arr = jnp.asarray(valid).reshape(n_chunks, sw_batch_size)
 
     if mode == "gaussian":
         weight = jnp.asarray(gaussian_importance_map(roi_size))
@@ -151,8 +155,9 @@ def sliding_window_inference(
             vol, (start[0], start[1], start[2], 0), (rh, rw, rd, c)
         )
 
-    def chunk_body(carry, chunk_starts):
+    def chunk_body(carry, chunk):
         acc, wacc = carry
+        chunk_starts, chunk_valid = chunk
         patches = jax.vmap(extract)(chunk_starts)  # [sw, rh, rw, rd, c]
         logits = run_predict(patches).astype(jnp.float32)  # [sw, rh, rw, rd, K]
         weighted = logits * weight4[None]
@@ -160,17 +165,18 @@ def sliding_window_inference(
         def add_one(i, carry):
             acc, wacc = carry
             s = chunk_starts[i]
+            v = chunk_valid[i]  # 0 for padded duplicate tiles
             idx = (s[0], s[1], s[2], 0)
             cur = jax.lax.dynamic_slice(acc, idx, (rh, rw, rd, num_classes))
-            acc = jax.lax.dynamic_update_slice(acc, cur + weighted[i], idx)
+            acc = jax.lax.dynamic_update_slice(acc, cur + weighted[i] * v, idx)
             curw = jax.lax.dynamic_slice(wacc, idx, (rh, rw, rd, 1))
-            wacc = jax.lax.dynamic_update_slice(wacc, curw + weight4, idx)
+            wacc = jax.lax.dynamic_update_slice(wacc, curw + weight4 * v, idx)
             return acc, wacc
 
         acc, wacc = jax.lax.fori_loop(0, sw_batch_size, add_one, (acc, wacc))
         return (acc, wacc), None
 
-    (acc, wacc), _ = jax.lax.scan(chunk_body, (acc, wacc), starts_arr)
+    (acc, wacc), _ = jax.lax.scan(chunk_body, (acc, wacc), (starts_arr, valid_arr))
 
     out = acc / wacc
     return out[:h, :w, :d, :]

@@ -274,6 +274,9 @@ class ImageRegistration:
 
             for _ in range(self.iterations):
                 params, opt_state, loss = step(params, opt_state)
+            # metric of the *returned* parameters at this level (also covers
+            # iterations == 0, where the loop never binds `loss`)
+            final_metric = float(jax.jit(loss_fn)(params))
 
         # final warp at full resolution
         coords = _identity_coords(fixed_j.shape)
@@ -285,7 +288,7 @@ class ImageRegistration:
             "method": method,
             "metric": metric_name,
             "params": {k: np.asarray(v).tolist() for k, v in params.items()},
-            "final_metric": float(loss),
+            "final_metric": final_metric,
         }
         return warped, transform
 

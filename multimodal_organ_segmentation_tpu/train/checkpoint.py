@@ -34,18 +34,32 @@ def save_checkpoint(
     history: Optional[Dict] = None,
     **extra,
 ) -> None:
-    """Save an array pytree + metadata under ``path`` (a directory)."""
-    path = Path(path).resolve()
-    if path.exists():
-        import shutil
+    """Save an array pytree + metadata under ``path`` (a directory).
 
-        shutil.rmtree(path)
-    ensure_dir(path.parent)
-    _checkpointer().save(path / "tree", state_tree)
+    Crash-safe: writes to a sibling temp dir first, then swaps — a kill
+    mid-save never destroys the previous checkpoint.
+    """
+    import shutil
+
+    path = Path(path).resolve()
+    tmp = path.with_name(path.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    ensure_dir(tmp.parent)
+    _checkpointer().save(tmp / "tree", state_tree)
     save_json(
         {"epoch": epoch, "best_metric": best_metric, "history": history or {}, **extra},
-        path / "meta.json",
+        tmp / "meta.json",
     )
+    if path.exists():
+        old = path.with_name(path.name + ".old")
+        if old.exists():
+            shutil.rmtree(old)
+        path.rename(old)
+        tmp.rename(path)
+        shutil.rmtree(old)
+    else:
+        tmp.rename(path)
 
 
 def load_checkpoint(path, target: Optional[Any] = None) -> Dict[str, Any]:
@@ -104,15 +118,22 @@ class CheckpointPolicy:
         metric: float,
         best_metric: float,
         history: Optional[Dict] = None,
+        is_best: Optional[bool] = None,
     ) -> float:
-        """Apply the policy; returns the (possibly updated) best metric."""
+        """Apply the policy; returns the (possibly updated) best metric.
+
+        ``best_metric`` must already reflect this epoch (callers decide
+        improvement); ``is_best`` marks whether this epoch set it.
+        """
+        if is_best is None:
+            is_best = metric >= best_metric
+            best_metric = max(best_metric, metric)
         if self.save_last:
             save_checkpoint(
                 state_tree, self.output_dir / "last", epoch=epoch,
                 best_metric=best_metric, history=history,
             )
-        if self.save_best and metric >= best_metric:
-            best_metric = metric
+        if self.save_best and is_best:
             save_checkpoint(
                 state_tree, self.output_dir / "best", epoch=epoch,
                 best_metric=best_metric, history=history,

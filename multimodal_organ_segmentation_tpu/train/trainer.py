@@ -40,14 +40,13 @@ from multimodal_organ_segmentation_tpu.ops.sliding_window import (
 from multimodal_organ_segmentation_tpu.parallel.mesh import (
     make_mesh,
     replicate_tree,
-    shard_batch,
 )
 from multimodal_organ_segmentation_tpu.train.checkpoint import (
     CheckpointPolicy,
     load_checkpoint,
 )
 from multimodal_organ_segmentation_tpu.train.losses import get_loss
-from multimodal_organ_segmentation_tpu.train.metrics import DiceMetric, get_metrics
+from multimodal_organ_segmentation_tpu.train.metrics import get_metrics
 from multimodal_organ_segmentation_tpu.train.optim import (
     LRScheduler,
     make_optimizer,
@@ -316,13 +315,18 @@ class Trainer:
                     f"Val Dice: {val_dice:.4f} LR: {lr:.2e} ({dt:.1f}s)"
                 )
 
-            prev_best = self.best_metric
-            self.best_metric = self.ckpt.save(
-                self.state, epoch, val_dice, self.best_metric, history=self.history
+            # best-metric tracking is independent of checkpoint policy
+            # (with save_best off, early stopping must still see the best)
+            is_best = val_dice >= self.best_metric
+            improved = val_dice > self.best_metric
+            self.best_metric = max(self.best_metric, val_dice)
+            self.ckpt.save(
+                self.state, epoch, val_dice, self.best_metric,
+                history=self.history, is_best=is_best,
             )
 
             # early stopping on val dice (reference: trainer.py:209-218)
-            if val_dice > prev_best:
+            if improved:
                 no_improve = 0
             else:
                 no_improve += 1
@@ -366,13 +370,14 @@ class Trainer:
             first = next(iter(self.val_loader))
             self.init_state(np.asarray(first["image"][0]))
 
-        dice = DiceMetric(self.num_classes)
+        from multimodal_organ_segmentation_tpu.data.dataloader import device_prefetch
+
         total, count = 0.0, 0
         inter = np.zeros(self.num_classes)
         union = np.zeros(self.num_classes)
-        for batch in self.val_loader:
-            images = jnp.asarray(np.asarray(batch["image"]))
-            labels = jnp.asarray(np.asarray(batch["label"]).astype(np.int32))
+        for batch in device_prefetch(iter(self.val_loader)):
+            images = jnp.asarray(batch["image"])
+            labels = jnp.asarray(batch["label"]).astype(jnp.int32)
             loss, preds, i, u = self._eval_step(
                 self.state.params, self.state.extra, images, labels
             )

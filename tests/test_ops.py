@@ -171,3 +171,30 @@ class TestSlidingWindow:
             vol, predict, roi_size=(16, 16, 16), num_classes=1
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(vol) * 2.0, atol=1e-5)
+
+
+class TestSlidingWindowBatchInvariance:
+    def test_output_independent_of_sw_batch(self):
+        """Blended logits must be identical for any sw_batch_size, even when
+        tile padding occurs and the model is non-linear (a padded duplicate
+        tile must contribute zero weight)."""
+        rng = np.random.default_rng(7)
+        vol = jnp.asarray(rng.normal(size=(24, 24, 24, 1)).astype(np.float32))
+
+        def predict(p):
+            # non-linear so double-counting a tile would change the blend
+            return jnp.concatenate([jnp.tanh(p) ** 2 + p, -p], axis=-1)
+
+        ref = sliding_window_inference(
+            vol, predict, roi_size=(16, 16, 16), num_classes=2,
+            overlap=0.5, sw_batch_size=1,
+        )
+        for swb in (3, 4, 16):
+            out = sliding_window_inference(
+                vol, predict, roi_size=(16, 16, 16), num_classes=2,
+                overlap=0.5, sw_batch_size=swb,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=1e-5,
+                err_msg=f"sw_batch_size={swb}",
+            )
