@@ -245,12 +245,20 @@ class TestSUV:
 
 class TestNormalizerParity:
     def test_parity_vs_reference(self):
-        import sys
+        """Load the reference normalizer module directly by path (its
+        package __init__ needs pydicom, which isn't installed) with our
+        nibabel shim installed."""
+        import importlib.util
 
-        if "/root/reference" not in sys.path:
-            sys.path.insert(0, "/root/reference")
-        pytest.importorskip("nibabel", reason="reference normalizer imports nibabel")
-        from src.preprocessing.normalizer import IntensityNormalizer as RefNorm
+        from tests import nibabel_shim
+
+        nibabel_shim.install()
+        spec = importlib.util.spec_from_file_location(
+            "ref_normalizer", "/root/reference/src/preprocessing/normalizer.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        RefNorm = mod.IntensityNormalizer
 
         rng = np.random.default_rng(0)
         img = rng.normal(100, 300, (8, 8, 8)).astype(np.float32)
