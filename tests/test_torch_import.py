@@ -1,0 +1,68 @@
+"""Weight-level parity: import a live reference torch UNet3D into our
+flax UNet3D and require numerically matching forward outputs."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+from src.models.backbones.unet import UNet3D as RefUNet3D  # noqa: E402
+
+from multimodal_organ_segmentation_tpu.models.unet3d import UNet3D  # noqa: E402
+from multimodal_organ_segmentation_tpu.models.torch_import import (  # noqa: E402
+    from_torch_unet3d,
+    load_torch_checkpoint,
+)
+
+
+def _parity_check(features, shape, in_ch=2, out_ch=4, seed=0, atol=2e-4):
+    torch.manual_seed(seed)
+    ref = RefUNet3D(in_channels=in_ch, out_channels=out_ch, features=list(features))
+    ref.eval()
+
+    params = from_torch_unet3d(ref.state_dict(), num_levels=len(features))
+    ours = UNet3D(out_channels=out_ch, features=tuple(features))
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(1, in_ch, *shape)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x)).numpy()  # [B, C, H, W, D]
+
+    x_cl = np.moveaxis(x, 1, -1)  # [B, H, W, D, C]
+    our_out = np.asarray(
+        ours.apply({"params": params}, jnp.asarray(x_cl), train=False)
+    )
+    our_out = np.moveaxis(our_out, -1, 1)
+
+    np.testing.assert_allclose(our_out, ref_out, atol=atol, rtol=1e-3)
+
+
+class TestTorchImport:
+    def test_forward_parity_small(self):
+        _parity_check((4, 8), (8, 8, 8))
+
+    def test_forward_parity_3level(self):
+        _parity_check((4, 8, 16), (16, 16, 16), in_ch=1, out_ch=3, seed=1)
+
+    def test_checkpoint_file_roundtrip(self, tmp_path):
+        torch.manual_seed(2)
+        ref = RefUNet3D(in_channels=1, out_channels=2, features=[4, 8])
+        torch.save({"model_state_dict": ref.state_dict()}, tmp_path / "ckpt.pth")
+        params = load_torch_checkpoint(tmp_path / "ckpt.pth", num_levels=2)
+        assert "init_conv" in params and "out_conv" in params
+        # shapes line up with a fresh init
+        ours = UNet3D(out_channels=2, features=(4, 8))
+        init = ours.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)), train=False)
+        ref_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, params)
+        init_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, init["params"])
+        assert ref_shapes == init_shapes
