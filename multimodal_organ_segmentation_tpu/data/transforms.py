@@ -249,6 +249,29 @@ def random_crop(
 # pipeline
 # ---------------------------------------------------------------------------
 
+class Compose:
+    """Sequential transform composition (reference: transforms.py:20-29).
+
+    Each transform is ``fn(sample) → sample`` or ``fn(sample, key) →
+    sample``; key-taking transforms get an independent fold of the call key.
+    """
+
+    def __init__(self, transforms):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample: Sample, key: Optional[jax.Array] = None) -> Sample:
+        import inspect
+
+        if key is None:
+            key = jax.random.key(0)
+        for i, t in enumerate(self.transforms):
+            params = inspect.signature(t).parameters
+            if len(params) >= 2:
+                sample = t(sample, jax.random.fold_in(key, i))
+            else:
+                sample = t(sample)
+        return sample
+
 class TransformPipeline:
     """Composed jit transform ``(sample, key) → sample``.
 

@@ -260,3 +260,21 @@ class TestDevicePrefetch:
         assert len(direct) == len(prefetched)
         for a, b in zip(direct, prefetched):
             np.testing.assert_allclose(a, b)
+
+
+class TestCompose:
+    def test_compose_mixed(self):
+        from multimodal_organ_segmentation_tpu.data.transforms import Compose
+
+        sample = {
+            "image": jnp.ones((4, 4, 4, 1)),
+            "label": jnp.zeros((4, 4, 4), jnp.int32),
+        }
+        pipeline = Compose([
+            lambda s: {**s, "image": s["image"] * 2.0},
+            lambda s, key: random_gaussian_noise(s, key, std=0.1, prob=1.0),
+            lambda s: resize_sample(s, (2, 2, 2)),
+        ])
+        out = pipeline(sample, jax.random.key(0))
+        assert out["image"].shape == (2, 2, 2, 1)
+        assert float(jnp.mean(out["image"])) == pytest.approx(2.0, abs=0.2)
