@@ -50,7 +50,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     )
     parser.add_argument(
         "--fusion", default=None,
-        choices=["early", "late", "attention", "cross_attention"],
+        # the reference CLI stops at 4 (main.py:167-173) even though its
+        # fusion package exports 6 strategies; all are selectable here
+        choices=[
+            "early", "late", "attention", "cross_attention",
+            "bidirectional", "suv_guided",
+        ],
     )
     parser.add_argument("--modalities", nargs="+", default=None)
     parser.add_argument("--suv-analysis", dest="suv_analysis", action="store_true")

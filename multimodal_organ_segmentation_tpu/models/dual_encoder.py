@@ -28,7 +28,9 @@ from multimodal_organ_segmentation_tpu.models.layers import (
 )
 from multimodal_organ_segmentation_tpu.models.fusion import (
     AttentionFusion,
+    BidirectionalCrossAttention,
     CrossAttentionFusion,
+    SUVGuidedAttention,
 )
 
 
@@ -59,9 +61,15 @@ class DualEncoder(nn.Module):
     out_channels: int = 8
     features: Sequence[int] = (32, 64, 128, 256, 512)
     norm: str = "instance"
-    fusion_type: str = "concat"  # concat, add, attention, cross_attention, mean
+    # concat, add, attention, cross_attention, bidirectional, suv_guided, mean
+    fusion_type: str = "concat"
     dropout: float = 0.0
     cross_attn_heads: int = 4
+    # channel index of the PET/SUV modality in the stacked input, used by
+    # suv_guided fusion (reference: attention_fusion.py:219-295 takes the
+    # raw SUV volume alongside the CT features)
+    suv_channel: int = 1
+    suv_threshold: float = 2.5
     dtype: Any = jnp.float32
     # explainability: grad-capture points at fused pyramid levels
     enable_perturb: bool = False
@@ -84,7 +92,8 @@ class DualEncoder(nn.Module):
             )
             all_encoder_features.append(outs)
 
-        fused = self._fuse(all_encoder_features, train)
+        suv = x[..., self.suv_channel : self.suv_channel + 1]
+        fused = self._fuse(all_encoder_features, suv, train)
         if self.enable_perturb:
             fused = [
                 self.perturb(f"fused{i}", f) for i, f in enumerate(fused)
@@ -114,7 +123,7 @@ class DualEncoder(nn.Module):
         return logits
 
     def _fuse(
-        self, all_features: List[List[jax.Array]], train: bool
+        self, all_features: List[List[jax.Array]], suv: jax.Array, train: bool
     ) -> List[jax.Array]:
         num_levels = len(all_features[0])
         fused = []
@@ -145,6 +154,31 @@ class DualEncoder(nn.Module):
                     dtype=self.dtype,
                     name=f"fusion_xattn{level}",
                 )(level_feats[0], others, train)
+            elif self.fusion_type == "bidirectional":
+                others = (
+                    level_feats[1]
+                    if len(level_feats) == 2
+                    else jnp.mean(jnp.stack(level_feats[1:], axis=0), axis=0)
+                )
+                f = BidirectionalCrossAttention(
+                    num_heads=self.cross_attn_heads,
+                    dtype=self.dtype,
+                    name=f"fusion_bixattn{level}",
+                )(level_feats[0], others, train)
+            elif self.fusion_type == "suv_guided":
+                # gate the primary-modality (CT) features by the raw SUV
+                # volume; add the other modalities' features back in so
+                # their encoders still contribute
+                base = level_feats[0]
+                if len(level_feats) > 1:
+                    base = base + jnp.mean(
+                        jnp.stack(level_feats[1:], axis=0), axis=0
+                    )
+                f = SUVGuidedAttention(
+                    suv_threshold=self.suv_threshold,
+                    dtype=self.dtype,
+                    name=f"fusion_suv{level}",
+                )(base, suv, train)
             else:  # mean
                 f = jnp.mean(jnp.stack(level_feats, axis=0), axis=0)
             fused.append(f)
@@ -164,6 +198,10 @@ def build_dual_encoder(config, dtype=jnp.float32) -> DualEncoder:
     # map the CLI vocabulary onto DualEncoder's internal fusion set
     if ftype in ("early", "late"):
         ftype = "concat"
+    modalities = [str(m).upper() for m in config.get("data.modalities", ["CT", "PET"])]
+    suv_channel = modalities.index("PET") if "PET" in modalities else min(
+        1, num_modalities - 1
+    )
     return DualEncoder(
         num_modalities=num_modalities,
         out_channels=int(config.get("model.out_channels", 8)),
@@ -171,6 +209,8 @@ def build_dual_encoder(config, dtype=jnp.float32) -> DualEncoder:
         norm=str(backbone.get("norm", "instance")),
         fusion_type=ftype,
         dropout=float(config.get("model.head.dropout", 0.0) or 0.0),
+        suv_channel=suv_channel,
+        suv_threshold=float(fusion.get("suv_threshold", 2.5)),
         dtype=dtype,
         enable_perturb=bool(config.get("model.enable_perturb", False)),
     )

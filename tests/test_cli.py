@@ -46,6 +46,33 @@ class TestParseArgs:
         with pytest.raises(SystemExit):
             parse_args(["--mode", "train", "--model", "resnet"])
 
+    @pytest.mark.parametrize(
+        "fusion",
+        ["early", "late", "attention", "cross_attention",
+         "bidirectional", "suv_guided"],
+    )
+    def test_every_fusion_choice_builds(self, fusion):
+        """SURVEY §1 mandate: all fusion strategies selectable end-to-end
+        (CLI choice → config → built model → forward)."""
+        import jax
+        import jax.numpy as jnp
+
+        from multimodal_organ_segmentation_tpu.models import build_model
+
+        args = parse_args(
+            ["--mode", "train", "--model", "dual_encoder", "--fusion", fusion]
+        )
+        cfg = merge_config_with_args(default_config(), args)
+        assert cfg.model.fusion.type == fusion
+        cfg.set("hardware.mixed_precision", "none")
+        cfg.set("model.backbone.features", [4, 8])
+        cfg.set("model.out_channels", 3)
+        model = build_model(cfg)
+        x = jnp.zeros((1, 8, 8, 8, 2))
+        variables = model.init(jax.random.key(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (1, 8, 8, 8, 3)
+
     def test_flags(self):
         args = parse_args(
             ["--mode", "analysis", "--suv-analysis", "--tmtv-analysis",

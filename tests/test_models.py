@@ -121,7 +121,11 @@ class TestSwinUNETR:
 
 class TestDualEncoder:
     @pytest.mark.parametrize(
-        "fusion_type", ["concat", "add", "attention", "cross_attention", "mean"]
+        "fusion_type",
+        [
+            "concat", "add", "attention", "cross_attention",
+            "bidirectional", "suv_guided", "mean",
+        ],
     )
     def test_fusion_types(self, fusion_type):
         model = DualEncoder(
