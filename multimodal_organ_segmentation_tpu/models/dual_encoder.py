@@ -14,7 +14,7 @@ other-modality features via the blockwise flash path.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +73,10 @@ class DualEncoder(nn.Module):
     dtype: Any = jnp.float32
     # explainability: grad-capture points at fused pyramid levels
     enable_perturb: bool = False
+    # sequence parallelism: shard the voxel-token axis of cross attention
+    # over this mesh axis (ring attention, SURVEY.md §2.10)
+    sequence_axis: Optional[str] = None
+    mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -152,6 +156,8 @@ class DualEncoder(nn.Module):
                 f = CrossAttentionFusion(
                     num_heads=self.cross_attn_heads,
                     dtype=self.dtype,
+                    sequence_axis=self.sequence_axis,
+                    mesh=self.mesh,
                     name=f"fusion_xattn{level}",
                 )(level_feats[0], others, train)
             elif self.fusion_type == "bidirectional":
@@ -163,6 +169,8 @@ class DualEncoder(nn.Module):
                 f = BidirectionalCrossAttention(
                     num_heads=self.cross_attn_heads,
                     dtype=self.dtype,
+                    sequence_axis=self.sequence_axis,
+                    mesh=self.mesh,
                     name=f"fusion_bixattn{level}",
                 )(level_feats[0], others, train)
             elif self.fusion_type == "suv_guided":
@@ -202,6 +210,15 @@ def build_dual_encoder(config, dtype=jnp.float32) -> DualEncoder:
     suv_channel = modalities.index("PET") if "PET" in modalities else min(
         1, num_modalities - 1
     )
+    # sequence parallelism: ring attention over parallel.sequence_axis
+    sequence_axis = config.get("parallel.sequence_axis", None)
+    mesh = None
+    if sequence_axis:
+        from multimodal_organ_segmentation_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(config)
+        if dict(mesh.shape).get(str(sequence_axis), 1) <= 1:
+            sequence_axis, mesh = None, None
     return DualEncoder(
         num_modalities=num_modalities,
         out_channels=int(config.get("model.out_channels", 8)),
@@ -213,4 +230,6 @@ def build_dual_encoder(config, dtype=jnp.float32) -> DualEncoder:
         suv_threshold=float(fusion.get("suv_threshold", 2.5)),
         dtype=dtype,
         enable_perturb=bool(config.get("model.enable_perturb", False)),
+        sequence_axis=str(sequence_axis) if sequence_axis else None,
+        mesh=mesh,
     )

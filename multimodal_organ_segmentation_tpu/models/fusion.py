@@ -125,12 +125,30 @@ class CrossAttentionFusion(nn.Module):
     The score matrix is never materialized: tokens go through the
     blockwise/Pallas flash path (ops/attention.py), the sequence-parallel
     analog called for in SURVEY.md §2.10.
+
+    Sequence parallelism: when ``sequence_axis`` names a mesh axis (and
+    ``mesh`` is set), the voxel-token axis is sharded over it and attention
+    runs as a K/V ring (parallel/ring_attention.py) — each device holds
+    N/axis_size tokens and K/V blocks rotate via ``ppermute`` over ICI.
+    This is how 128³+ token grids exceed one chip's HBM
+    (configs/dual_encoder_xattn_128.yaml sets ``parallel.sequence_axis``).
+    Falls back to the single-device flash path when the axis is absent,
+    trivial, or does not divide the token count.
     """
 
     num_heads: int = 4
     dropout: float = 0.0
     kv_block: int = 2048
     dtype: Dtype = jnp.float32
+    # sequence parallelism (ring attention) over a mesh axis
+    sequence_axis: Optional[str] = None
+    mesh: Any = None
+
+    def _ring_ok(self, n: int) -> bool:
+        if self.sequence_axis is None or self.mesh is None:
+            return False
+        size = dict(self.mesh.shape).get(self.sequence_axis, 1)
+        return size > 1 and n % size == 0
 
     @nn.compact
     def __call__(
@@ -152,7 +170,14 @@ class CrossAttentionFusion(nn.Module):
         k = k.reshape(b, n, self.num_heads, hd)
         v = v.reshape(b, n, self.num_heads, hd)
 
-        out = multi_head_attention(q, k, v, kv_block=self.kv_block)
+        if self._ring_ok(n):
+            from multimodal_organ_segmentation_tpu.parallel.ring_attention import (
+                ring_attention,
+            )
+
+            out = ring_attention(q, k, v, self.mesh, axis_name=self.sequence_axis)
+        else:
+            out = multi_head_attention(q, k, v, kv_block=self.kv_block)
         out = out.reshape(b, h, w, d, c)
         out = nn.Conv(c, (1, 1, 1), dtype=self.dtype, name="out_proj")(out)
         if self.dropout > 0:
@@ -168,6 +193,8 @@ class BidirectionalCrossAttention(nn.Module):
     num_heads: int = 4
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    sequence_axis: Optional[str] = None
+    mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -175,10 +202,20 @@ class BidirectionalCrossAttention(nn.Module):
     ) -> jax.Array:
         c = features_1.shape[-1]
         a12 = CrossAttentionFusion(
-            self.num_heads, self.dropout, dtype=self.dtype, name="cross_1to2"
+            self.num_heads,
+            self.dropout,
+            dtype=self.dtype,
+            sequence_axis=self.sequence_axis,
+            mesh=self.mesh,
+            name="cross_1to2",
         )(features_1, features_2, train)
         a21 = CrossAttentionFusion(
-            self.num_heads, self.dropout, dtype=self.dtype, name="cross_2to1"
+            self.num_heads,
+            self.dropout,
+            dtype=self.dtype,
+            sequence_axis=self.sequence_axis,
+            mesh=self.mesh,
+            name="cross_2to1",
         )(features_2, features_1, train)
         x = jnp.concatenate([a12, a21], axis=-1)
         x = nn.Conv(c, (1, 1, 1), dtype=self.dtype)(x)

@@ -105,4 +105,13 @@ def build_unet3d(config, dtype=jnp.float32) -> UNet3D:
         dropout=float(config.get("model.head.dropout", 0.0) or 0.0),
         dtype=dtype,
         enable_perturb=bool(config.get("model.enable_perturb", False)),
+        tp_axis=_config_tp_axis(config),
     )
+
+
+def _config_tp_axis(config):
+    from multimodal_organ_segmentation_tpu.models.swin_unetr import (
+        _config_tp_axis as _tp,
+    )
+
+    return _tp(config)

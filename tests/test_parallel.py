@@ -122,6 +122,60 @@ class TestShardedTrainStep:
         np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), rtol=1e-6)
 
 
+class TestTensorParallel:
+    """Channel-sharding TP on the flagship (VERDICT round-1 item 7)."""
+
+    def _toy_swin(self, tp_axis=None):
+        from multimodal_organ_segmentation_tpu.models.swin_unetr import SwinUNETR
+
+        return SwinUNETR(
+            out_channels=4,
+            feature_size=4,
+            depths=(1, 1, 1, 1),
+            num_heads=(2, 2, 4, 4),
+            window_size=(2, 2, 2),
+            use_fused=False,
+            tp_axis=tp_axis,
+        )
+
+    def test_swin_unetr_tp_matches_no_tp(self):
+        """dp×tp mesh: TP-constrained SwinUNETR forward == unconstrained."""
+        if len(_devices()) < 8:
+            pytest.skip("needs 8 devices")
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 32, 2)).astype(np.float32))
+
+        base = self._toy_swin(None)
+        variables = jax.jit(lambda k: base.init(k, x, train=False))(jax.random.key(0))
+        ref = np.asarray(base.apply(variables, x, train=False))
+
+        tp = self._toy_swin("model")
+        mesh = make_mesh(ConfigNode({"parallel": {"mesh": {"data": 4, "model": 2}}}))
+        rep = NamedSharding(mesh, P())
+        v_rep = jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), variables)
+        x_rep = jax.device_put(x, rep)
+        with jax.sharding.use_mesh(mesh) if hasattr(
+            jax.sharding, "use_mesh"
+        ) else mesh:
+            out = np.asarray(
+                jax.jit(lambda v, a: tp.apply(v, a, train=False))(v_rep, x_rep)
+            )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_config_tp_axis_plumbing(self):
+        """parallel.mesh.model > 1 turns TP on for swin and unet builders."""
+        from multimodal_organ_segmentation_tpu.models.swin_unetr import build_swin_unetr
+        from multimodal_organ_segmentation_tpu.models.unet3d import build_unet3d
+
+        cfg = ConfigNode({"parallel": {"mesh": {"data": -1, "model": 2}}})
+        assert build_swin_unetr(cfg).tp_axis == "model"
+        assert build_unet3d(cfg).tp_axis == "model"
+        cfg2 = ConfigNode({"parallel": {"mesh": {"data": -1, "model": 1}}})
+        assert build_swin_unetr(cfg2).tp_axis is None
+        cfg3 = ConfigNode({"parallel": {"tp_axis": "model"}})
+        assert build_swin_unetr(cfg3).tp_axis == "model"
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import sys

@@ -53,3 +53,85 @@ class TestRingAttention:
 
         ref = float(jnp.sum(dense_attention(q, q, q)))
         assert float(f(q)) == pytest.approx(ref, rel=1e-5)
+
+
+class TestModelWiring:
+    """Ring attention wired INTO the models (VERDICT round-1 item 3)."""
+
+    def test_cross_attention_fusion_ring_matches_flash(self, mesh):
+        from multimodal_organ_segmentation_tpu.models.fusion import (
+            CrossAttentionFusion,
+        )
+
+        rng = np.random.default_rng(3)
+        # 8³ level → 512 tokens, divisible by the 8-device ring
+        q_feat = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 8)).astype(np.float32))
+        kv_feat = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 8)).astype(np.float32))
+
+        base = CrossAttentionFusion(num_heads=2)
+        ringed = CrossAttentionFusion(
+            num_heads=2, sequence_axis="data", mesh=mesh
+        )
+        variables = base.init(jax.random.key(0), q_feat, kv_feat, train=False)
+        ref = base.apply(variables, q_feat, kv_feat, train=False)
+        out = ringed.apply(variables, q_feat, kv_feat, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_cross_attention_fusion_ring_fallback_indivisible(self, mesh):
+        """Token counts that don't divide the ring fall back to flash."""
+        from multimodal_organ_segmentation_tpu.models.fusion import (
+            CrossAttentionFusion,
+        )
+
+        rng = np.random.default_rng(4)
+        # 3³ = 27 tokens, not divisible by 8
+        f1 = jnp.asarray(rng.normal(size=(1, 3, 3, 3, 4)).astype(np.float32))
+        ringed = CrossAttentionFusion(num_heads=2, sequence_axis="data", mesh=mesh)
+        variables = ringed.init(jax.random.key(0), f1, f1, train=False)
+        out = ringed.apply(variables, f1, f1, train=False)
+        assert out.shape == f1.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_dual_encoder_xattn_ring_matches_dense(self, mesh):
+        """DualEncoder cross_attention forward: ring == single-device path.
+
+        The capability called for in SURVEY.md §2.10 / VERDICT item 3: the
+        128³ config routes its voxel-token cross attention through the mesh.
+        """
+        from multimodal_organ_segmentation_tpu.models.dual_encoder import (
+            DualEncoder,
+        )
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 2)).astype(np.float32))
+
+        kwargs = dict(
+            num_modalities=2,
+            out_channels=4,
+            features=(4, 8),
+            fusion_type="cross_attention",
+            cross_attn_heads=2,
+        )
+        base = DualEncoder(**kwargs)
+        ringed = DualEncoder(**kwargs, sequence_axis="data", mesh=mesh)
+
+        variables = base.init(jax.random.key(0), x, train=False)
+        ref = base.apply(variables, x, train=False)
+        out = ringed.apply(variables, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_config_selects_ring(self):
+        """configs/dual_encoder_xattn_128.yaml wires sequence_axis=data."""
+        from multimodal_organ_segmentation_tpu.utils.config import load_config
+        from multimodal_organ_segmentation_tpu.models.build import build_model
+
+        cfg = load_config("configs/dual_encoder_xattn_128.yaml")
+        model = build_model(cfg)
+        backbone = model.backbone
+        assert backbone.sequence_axis == "data"
+        assert backbone.mesh is not None
+        assert dict(backbone.mesh.shape)["data"] > 1
