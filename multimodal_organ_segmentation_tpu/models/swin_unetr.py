@@ -132,6 +132,13 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     dtype: Dtype = jnp.float32
     use_fused: Optional[bool] = None  # None = auto (TPU)
+    # the CONFIGURED window the bias table is sized for. When the grid is
+    # smaller than the configured window, ``window`` is the clamped size but
+    # the table keeps full size and the index map is sliced ``[:n, :n]`` —
+    # exactly MONAI's behavior (its WindowAttention builds the table from
+    # the constructor window and slices relative_position_index at runtime),
+    # which torch-checkpoint import parity depends on.
+    table_window: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, mask=None, train: bool = True) -> jax.Array:
@@ -142,10 +149,11 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
+        table_window = self.table_window or self.window
         table_size = (
-            (2 * self.window[0] - 1)
-            * (2 * self.window[1] - 1)
-            * (2 * self.window[2] - 1)
+            (2 * table_window[0] - 1)
+            * (2 * table_window[1] - 1)
+            * (2 * table_window[2] - 1)
         )
         bias_table = self.param(
             "rel_pos_bias",
@@ -153,7 +161,9 @@ class WindowAttention(nn.Module):
             (table_size, self.num_heads),
             jnp.float32,
         )
-        rel_idx = jnp.asarray(_relative_position_index(self.window))
+        rel_idx = jnp.asarray(
+            _relative_position_index(table_window)[:n, :n]
+        )
         bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)  # [heads, N, N]
 
@@ -253,6 +263,7 @@ class SwinBlock(nn.Module):
             attn_drop=self.attn_drop,
             dtype=self.dtype,
             use_fused=self.use_fused,
+            table_window=tuple(self.window),  # table sized by configured window
             name="attn",
         )(windows, mask, train)
         y = window_unpartition(attended, window, (b, hp, wp, dp))
@@ -264,21 +275,37 @@ class SwinBlock(nn.Module):
 
         x = shortcut + y
 
-        # MLP
+        # MLP (exact erf GELU: torch nn.GELU default — keeps torch-checkpoint
+        # import parity; the tanh approximation drifts ~1e-3 per block)
         z = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         z = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(z)
-        z = nn.gelu(z)
+        z = nn.gelu(z, approximate=False)
         if self.drop > 0:
             z = nn.Dropout(self.drop, deterministic=not train)(z)
         z = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(z)
         return x + z
 
 
+# MONAI's v1 ``PatchMerging`` ("merging", the SwinUNETR default downsample)
+# samples these 8 (i,j,k) parity triples — (0,1,0) and (0,0,1) twice each,
+# (0,1,1) and (1,1,0) never (the quirk PatchMergingV2 fixed). Expressed as
+# indices into the product-ordered (i·4 + j·2 + k) space-to-depth blocks.
+_MONAI_V1_MERGE_ORDER = (0, 4, 2, 1, 5, 2, 1, 7)
+
+
 class PatchMerging(nn.Module):
-    """Space-to-depth 2³ → LayerNorm → Linear(8C → 2C)."""
+    """Space-to-depth 2³ → LayerNorm → Linear(8C → 2C).
+
+    ``order="product"`` (default) concatenates the 8 neighbor parities in
+    lexicographic (itertools.product) order — PatchMergingV2 semantics.
+    ``order="monai_v1"`` reproduces MONAI's v1 ``PatchMerging`` slice list
+    (duplicates included — they enter the LayerNorm statistics), needed for
+    bit-parity when importing reference/MONAI "merging" checkpoints.
+    """
 
     dim: int
     dtype: Dtype = jnp.float32
+    order: str = "product"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -288,11 +315,22 @@ class PatchMerging(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, pd), (0, 0)))
             h, w, d = h + ph, w + pw, d + pd
         x = x.reshape(b, h // 2, 2, w // 2, 2, d // 2, 2, c)
-        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
-            b, h // 2, w // 2, d // 2, 8 * c
-        )
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # [b,h2,w2,d2, 2,2,2, c]
+        x = x.reshape(b, h // 2, w // 2, d // 2, 8, c)
+        if self.order == "monai_v1":
+            x = x[..., jnp.asarray(_MONAI_V1_MERGE_ORDER), :]
+        x = x.reshape(b, h // 2, w // 2, d // 2, 8 * c)
         x = nn.LayerNorm(dtype=self.dtype)(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype)(x)
+
+
+def _param_free_layer_norm(x: jax.Array) -> jax.Array:
+    """``F.layer_norm(x, [C])`` with no scale/bias (MONAI swinViT.proj_out
+    applies this to every hidden state when ``normalize=True``)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
 
 
 class _UnetrResBlock(nn.Module):
@@ -361,6 +399,30 @@ class SwinUNETR(nn.Module):
     enable_perturb: bool = False
     # fused Pallas window attention (None = auto: on for TPU)
     use_fused: Optional[bool] = None
+    # tensor parallelism: mesh axis to shard activation channels over
+    # (requires an active mesh context; GSPMD partitions the producing /
+    # consuming matmuls channel-wise and inserts the collectives). Same
+    # mechanism as UNet3D (unet3d.py:44,69); mirrors VERDICT r1 item 7.
+    tp_axis: Any = None
+    # MONAI-graph compatibility for torch-checkpoint interchange
+    # (reference: src/models/backbones/swin_unetr.py:80-96 wraps
+    # monai.networks.nets.SwinUNETR). When True the forward reproduces the
+    # MONAI wiring exactly: feature taps AFTER each patch merge (plus the
+    # raw patch embed), parameterless layer_norm on every tap
+    # (swinViT.proj_out, normalize=True), NO residual block on the 8fs
+    # skip (decoder5 consumes it raw), and the v1 "merging" neighbor order.
+    monai_compat: bool = False
+    merge_order: Optional[str] = None  # None → "monai_v1" iff monai_compat
+    # multi-modal cross-attention fusion (the BASELINE.json north-star
+    # workload: "SwinUNETR PET/CT cross-attention"). "cross_attention"
+    # splits the input into a primary stream (all channels → the Swin
+    # encoder) and a secondary stream (channels [1:], e.g. PET → a light
+    # strided-conv pyramid); after every patch merge, the Swin tokens
+    # cross-attend to the secondary features on the same grid via
+    # CrossAttentionFusion (flash path — never materializes N²). Fusion
+    # starts at /4 (13824 tokens for a 96³ ROI), where voxel-token
+    # attention is MXU-friendly; /2 (110k tokens) would dominate runtime.
+    modality_fusion: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -369,6 +431,10 @@ class SwinUNETR(nn.Module):
         train: bool = True,
         capture: bool = False,
     ) -> Union[jax.Array, Tuple[jax.Array, List[jax.Array]]]:
+        from multimodal_organ_segmentation_tpu.parallel.mesh import (
+            constrain_channels,
+        )
+
         fs = self.feature_size
         x = x.astype(self.dtype)
         inp = x
@@ -381,6 +447,28 @@ class SwinUNETR(nn.Module):
 
         hidden: List[jax.Array] = []
         dims = [fs, fs * 2, fs * 4, fs * 8]
+        merge_order = self.merge_order or (
+            "monai_v1" if self.monai_compat else "product"
+        )
+        if self.monai_compat:
+            hidden.append(y)  # MONAI x0: raw patch embed @ /2
+
+        xfuse = self.modality_fusion == "cross_attention" and x.shape[-1] >= 2
+        if xfuse:
+            assert not self.monai_compat, (
+                "modality_fusion is this framework's extension; monai_compat "
+                "reproduces the reference graph exactly"
+            )
+            from multimodal_organ_segmentation_tpu.models.fusion import (
+                CrossAttentionFusion,
+            )
+
+            # secondary-modality pyramid @ /2 (PET for the CT+PET flagship)
+            aux = nn.Conv(
+                fs, (2, 2, 2), strides=(2, 2, 2), padding="VALID",
+                dtype=self.dtype, name="aux_embed",
+            )(x[..., 1:])
+            aux = nn.gelu(aux, approximate=False)
         block_cls = SwinBlock
         if self.use_remat:
             block_cls = nn.remat(SwinBlock, static_argnums=(2,))
@@ -397,42 +485,75 @@ class SwinUNETR(nn.Module):
                     use_fused=self.use_fused,
                     name=f"stage{stage}_block{bi}",
                 )(y, train)
+            y = constrain_channels(y, self.tp_axis)
             if self.enable_perturb:
                 y = self.perturb(f"stage{stage}", y)
-            hidden.append(y)
-            y = PatchMerging(dims[stage], dtype=self.dtype, name=f"merge{stage}")(y)
+            if not self.monai_compat:
+                hidden.append(y)  # tap pre-merge (our native wiring)
+            y = PatchMerging(
+                dims[stage], dtype=self.dtype, order=merge_order,
+                name=f"merge{stage}",
+            )(y)
+            y = constrain_channels(y, self.tp_axis)
+            if xfuse:
+                # bring the secondary pyramid to this grid, cross-attend
+                aux = nn.Conv(
+                    y.shape[-1], (2, 2, 2), strides=(2, 2, 2), padding="VALID",
+                    dtype=self.dtype, name=f"aux_down{stage}",
+                )(aux)
+                aux = nn.gelu(aux, approximate=False)
+                y = CrossAttentionFusion(
+                    num_heads=self.num_heads[min(stage + 1, 3)],
+                    dtype=self.dtype,
+                    name=f"xfuse{stage}",
+                )(y, aux, train)
+            if self.monai_compat:
+                hidden.append(y)  # MONAI taps post-merge
         if self.enable_perturb:
             y = self.perturb("stage4", y)
-        hidden.append(y)  # bottleneck 16fs @ /32
+        if not self.monai_compat:
+            hidden.append(y)  # bottleneck 16fs @ /32
 
         # UNETR decoder
+        if self.monai_compat:
+            taps = [_param_free_layer_norm(t) for t in hidden]
+        else:
+            taps = hidden
         enc0 = _UnetrResBlock(fs, self.norm, self.dtype, name="encoder0")(inp, train)
         enc1 = _UnetrResBlock(fs, self.norm, self.dtype, name="encoder1")(
-            hidden[0], train
+            taps[0], train
         )
         enc2 = _UnetrResBlock(fs * 2, self.norm, self.dtype, name="encoder2")(
-            hidden[1], train
+            taps[1], train
         )
         enc3 = _UnetrResBlock(fs * 4, self.norm, self.dtype, name="encoder3")(
-            hidden[2], train
+            taps[2], train
         )
-        enc4 = _UnetrResBlock(fs * 8, self.norm, self.dtype, name="encoder4")(
-            hidden[3], train
-        )
+        if self.monai_compat:
+            # MONAI feeds the /16 skip to decoder5 with no residual block
+            enc4 = taps[3]
+        else:
+            enc4 = _UnetrResBlock(fs * 8, self.norm, self.dtype, name="encoder4")(
+                taps[3], train
+            )
         bottleneck = _UnetrResBlock(fs * 16, self.norm, self.dtype, name="encoder10")(
-            hidden[4], train
+            taps[4], train
         )
 
+        # decoder: channel-shard the conv activations over the tp axis —
+        # the 3³ convs at fs·{8,4,2,1} are where the decoder FLOPs are
         d4 = _UnetrUpBlock(fs * 8, self.norm, self.dtype, name="decoder5")(
-            bottleneck, enc4, train
+            constrain_channels(bottleneck, self.tp_axis), enc4, train
         )
         d3 = _UnetrUpBlock(fs * 4, self.norm, self.dtype, name="decoder4")(
-            d4, enc3, train
+            constrain_channels(d4, self.tp_axis), enc3, train
         )
         d2 = _UnetrUpBlock(fs * 2, self.norm, self.dtype, name="decoder3")(
-            d3, enc2, train
+            constrain_channels(d3, self.tp_axis), enc2, train
         )
-        d1 = _UnetrUpBlock(fs, self.norm, self.dtype, name="decoder2")(d2, enc1, train)
+        d1 = _UnetrUpBlock(fs, self.norm, self.dtype, name="decoder2")(
+            constrain_channels(d2, self.tp_axis), enc1, train
+        )
         d0 = _UnetrUpBlock(fs, self.norm, self.dtype, name="decoder1")(d1, enc0, train)
 
         logits = nn.Conv(
@@ -452,6 +573,12 @@ class SwinUNETR(nn.Module):
 def build_swin_unetr(config, dtype=jnp.float32) -> SwinUNETR:
     """Factory from config (reference: swin_unetr.py:179-200)."""
     backbone = config.get("model.backbone", {}) or {}
+    fusion = config.get("model.fusion", {}) or {}
+    ftype = str(fusion.get("type", "early")).lower()
+    multimodal = len(config.get("data.modalities", ["CT", "PET"])) >= 2
+    modality_fusion = (
+        "cross_attention" if (ftype == "cross_attention" and multimodal) else None
+    )
     return SwinUNETR(
         out_channels=int(config.get("model.out_channels", 8)),
         feature_size=int(backbone.get("feature_size", 48)),
@@ -462,4 +589,19 @@ def build_swin_unetr(config, dtype=jnp.float32) -> SwinUNETR:
         use_remat=bool(config.get("parallel.remat", False)),
         dtype=dtype,
         enable_perturb=bool(config.get("model.enable_perturb", False)),
+        tp_axis=_config_tp_axis(config),
+        monai_compat=bool(backbone.get("monai_compat", False)),
+        modality_fusion=modality_fusion,
     )
+
+
+def _config_tp_axis(config) -> Optional[str]:
+    """``parallel.tp_axis`` when set, else "model" when the mesh has a
+    non-trivial model axis (parallel.mesh.model > 1)."""
+    tp = config.get("parallel.tp_axis", None)
+    if tp:
+        return str(tp)
+    mesh_cfg = config.get("parallel.mesh", {}) or {}
+    if hasattr(mesh_cfg, "to_dict"):
+        mesh_cfg = mesh_cfg.to_dict()
+    return "model" if int(dict(mesh_cfg).get("model", 1) or 1) > 1 else None

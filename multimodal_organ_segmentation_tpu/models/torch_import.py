@@ -79,6 +79,132 @@ def from_torch_unet3d(state_dict: Mapping[str, Any], num_levels: int) -> Dict[st
     return params
 
 
+def _dense(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """torch nn.Linear ``[out, in]`` → flax Dense kernel ``[in, out]``."""
+    out = {"kernel": np.ascontiguousarray(_to_np(sd[f"{prefix}.weight"]).T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _to_np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _layernorm(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    return {
+        "scale": _to_np(sd[f"{prefix}.weight"]),
+        "bias": _to_np(sd[f"{prefix}.bias"]),
+    }
+
+
+def _bias_or_zeros(sd: Mapping[str, Any], key: str, n: int) -> np.ndarray:
+    """MONAI UnetResBlock convs are bias-free; flax convs carry a bias."""
+    return _to_np(sd[key]) if key in sd else np.zeros((n,), np.float32)
+
+
+def _unetr_res_block(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """MONAI UnetResBlock (dynunet_block.py) → our _UnetrResBlock params.
+
+    conv1/conv2 → Conv_0/Conv_1; the 1×1 shortcut conv3 (present when
+    in_channels != out_channels) → Conv_2. Instance norms are affine-free
+    on both sides (no params).
+    """
+    out: Dict[str, Any] = {}
+    for torch_name, flax_name in (
+        ("conv1", "Conv_0"),
+        ("conv2", "Conv_1"),
+        ("conv3", "Conv_2"),
+    ):
+        wkey = f"{prefix}.{torch_name}.conv.weight"
+        if wkey not in sd:
+            continue
+        w = _conv_kernel(_to_np(sd[wkey]))
+        out[flax_name] = {
+            "kernel": w,
+            "bias": _bias_or_zeros(sd, f"{prefix}.{torch_name}.conv.bias", w.shape[-1]),
+        }
+    return out
+
+
+def from_torch_swin_unetr(
+    state_dict: Mapping[str, Any], depths=(2, 2, 2, 2)
+) -> Dict[str, Any]:
+    """MONAI SwinUNETR state_dict → our ``SwinUNETR(monai_compat=True)``
+    params tree.
+
+    The reference builds ``monai.networks.nets.SwinUNETR``
+    (src/models/backbones/swin_unetr.py:80-96) and saves it through
+    ``save_checkpoint`` (src/models/build.py:153-180), so its checkpoints
+    carry MONAI's key names (``swinViT.layers{i}.0.blocks.{j}...``,
+    ``encoder{1,2,3,4,10}.layer...``, ``decoder{5..1}...``, ``out.conv``).
+    Wrapper prefixes (the reference's ``model.`` and our ``backbone.``) are
+    stripped.
+
+    Layout conversions: Linear → Dense transpose, Conv3d/ConvTranspose3d as
+    in the UNet3D import above; the relative-position-bias table and index
+    orderings coincide (same (2w-1)³ factorization on both sides).
+    Target the same ``merge_order`` the checkpoint was trained with
+    (``"monai_v1"`` for MONAI's default ``downsample="merging"``).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.removeprefix("backbone.")
+        k = k.removeprefix("model.")
+        sd[k] = v
+
+    params: Dict[str, Any] = {}
+    # --- swin transformer encoder ---
+    pe = _conv_kernel(_to_np(sd["swinViT.patch_embed.proj.weight"]))
+    params["patch_embed"] = {
+        "kernel": pe,
+        "bias": _bias_or_zeros(sd, "swinViT.patch_embed.proj.bias", pe.shape[-1]),
+    }
+    for s in range(4):
+        layer = f"swinViT.layers{s + 1}.0"
+        for b in range(depths[s]):
+            blk = f"{layer}.blocks.{b}"
+            params[f"stage{s}_block{b}"] = {
+                "norm1": _layernorm(sd, f"{blk}.norm1"),
+                "attn": {
+                    "qkv": _dense(sd, f"{blk}.attn.qkv"),
+                    "rel_pos_bias": _to_np(
+                        sd[f"{blk}.attn.relative_position_bias_table"]
+                    ),
+                    "proj": _dense(sd, f"{blk}.attn.proj"),
+                },
+                "norm2": _layernorm(sd, f"{blk}.norm2"),
+                "mlp_fc1": _dense(sd, f"{blk}.mlp.linear1"),
+                "mlp_fc2": _dense(sd, f"{blk}.mlp.linear2"),
+            }
+        params[f"merge{s}"] = {
+            "LayerNorm_0": _layernorm(sd, f"{layer}.downsample.norm"),
+            "Dense_0": _dense(sd, f"{layer}.downsample.reduction"),
+        }
+    # --- UNETR decoder (MONAI encoder1..4/10 → our encoder0..3/10) ---
+    for ours, monai in (
+        ("encoder0", "encoder1"),
+        ("encoder1", "encoder2"),
+        ("encoder2", "encoder3"),
+        ("encoder3", "encoder4"),
+        ("encoder10", "encoder10"),
+    ):
+        params[ours] = _unetr_res_block(sd, f"{monai}.layer")
+    for n in range(5, 0, -1):
+        w = _conv_transpose_kernel(_to_np(sd[f"decoder{n}.transp_conv.conv.weight"]))
+        params[f"decoder{n}"] = {
+            "ConvTranspose_0": {
+                "kernel": w,
+                "bias": _bias_or_zeros(
+                    sd, f"decoder{n}.transp_conv.conv.bias", w.shape[-1]
+                ),
+            },
+            "_UnetrResBlock_0": _unetr_res_block(sd, f"decoder{n}.conv_block"),
+        }
+    out_w = _conv_kernel(_to_np(sd["out.conv.conv.weight"]))
+    params["out_conv"] = {
+        "kernel": out_w,
+        "bias": _bias_or_zeros(sd, "out.conv.conv.bias", out_w.shape[-1]),
+    }
+    return params
+
+
 def load_torch_checkpoint(path, num_levels: int) -> Dict[str, Any]:
     """Load a reference .pth checkpoint (tolerant of the reference's
     model_state_dict/state_dict/raw formats, build.py:140-146)."""

@@ -101,6 +101,55 @@ class TestSwinUNETR:
             (1, 1, 1, 1, 64),
         ]
 
+    def test_cross_attention_modality_fusion(self):
+        """The BASELINE north-star flagship: SwinUNETR with PET/CT
+        cross-attention fusion (dual-stream, fused at /4.../32)."""
+        model = SwinUNETR(
+            out_channels=4, feature_size=4, depths=(1, 1, 1, 1),
+            num_heads=(2, 2, 4, 4), window_size=(2, 2, 2),
+            modality_fusion="cross_attention",
+        )
+        x = jnp.asarray(
+            np.random.default_rng(2).normal(size=(1, 32, 32, 32, 2)).astype(np.float32)
+        )
+        out, variables = _init_and_run(model, x)
+        assert out.shape == (1, 32, 32, 32, 4)
+        assert np.isfinite(np.asarray(out)).all()
+        names = set(variables["params"].keys())
+        assert {"aux_embed", "aux_down0", "xfuse0", "xfuse3"} <= names
+        # PET stream must actually influence the output
+        x2 = x.at[..., 1].add(1.5)
+        out2 = model.apply(variables, x2, train=False)
+        assert float(jnp.max(jnp.abs(out2 - out))) > 1e-4
+
+    def test_cross_attention_fusion_builder(self):
+        cfg = ConfigNode(
+            {
+                "data": {"modalities": ["CT", "PET"]},
+                "model": {
+                    "name": "swin_unetr",
+                    "out_channels": 4,
+                    "backbone": {
+                        "feature_size": 4,
+                        "depths": [1, 1, 1, 1],
+                        "num_heads": [2, 2, 4, 4],
+                        "window_size": [2, 2, 2],
+                    },
+                    "fusion": {"type": "cross_attention"},
+                },
+            }
+        )
+        from multimodal_organ_segmentation_tpu.models.swin_unetr import (
+            build_swin_unetr,
+        )
+
+        assert build_swin_unetr(cfg).modality_fusion == "cross_attention"
+        cfg.set("model.fusion.type", "early")
+        assert build_swin_unetr(cfg).modality_fusion is None
+        cfg.set("model.fusion.type", "cross_attention")
+        cfg.set("data.modalities", ["CT"])
+        assert build_swin_unetr(cfg).modality_fusion is None
+
     def test_shifted_window_grad(self):
         model = SwinUNETR(
             out_channels=2, feature_size=2, depths=(2, 1, 1, 1),

@@ -1,0 +1,247 @@
+"""SwinUNETR torch-checkpoint import: forward + end-to-end Dice parity.
+
+The reference's flagship is MONAI's SwinUNETR
+(/root/reference/src/models/backbones/swin_unetr.py:80-96); its checkpoints
+(src/models/build.py:153-180) must load here and produce the same
+segmentations. The torch side of these tests is ``tests/monai_swin_replica.py``
+— a state_dict-compatible re-implementation of the MONAI network (MONAI
+itself is not installable in this environment).
+
+Covers VERDICT r1 items 1-2: forward parity ≤1e-3 on random input through
+every stage (shifted windows, v1 patch merging, UNETR decoder), plus
+sliding-window mean Dice within 0.5% of the torch pipeline on a synthetic
+multi-organ volume with identical weights.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from multimodal_organ_segmentation_tpu.models.swin_unetr import SwinUNETR
+from multimodal_organ_segmentation_tpu.models.torch_import import (
+    from_torch_swin_unetr,
+)
+from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+    _scan_starts,
+    gaussian_importance_map,
+    sliding_window_inference,
+)
+
+from tests.monai_swin_replica import MonaiSwinUNETR
+
+# small but structurally complete: 2 blocks/stage → shifted windows fire,
+# window 3 → pad + clamp paths fire, heads divide (4, 8, 16, 32). Inputs are
+# 64³ — the /32 bottleneck grid must be ≥2 or torch InstanceNorm3d rejects
+# the 1-voxel spatial (a real MONAI constraint too).
+FS = 4
+DEPTHS = (2, 2, 2, 2)
+HEADS = (2, 4, 8, 8)
+WINDOW = (3, 3, 3)
+IN_CH, OUT_CH = 2, 4
+
+
+def _build_pair(merge_order: str, depths=DEPTHS, seed: int = 0):
+    torch.manual_seed(seed)
+    tmodel = MonaiSwinUNETR(
+        in_channels=IN_CH,
+        out_channels=OUT_CH,
+        feature_size=FS,
+        depths=depths,
+        num_heads=HEADS,
+        window_size=WINDOW,
+        merge_order=merge_order,
+    ).eval()
+    jmodel = SwinUNETR(
+        out_channels=OUT_CH,
+        feature_size=FS,
+        depths=depths,
+        num_heads=HEADS,
+        window_size=WINDOW,
+        use_fused=False,
+        monai_compat=True,
+        merge_order=merge_order,
+    )
+    params = from_torch_swin_unetr(tmodel.state_dict(), depths=depths)
+    return tmodel, jmodel, {"params": params}
+
+
+def _forward_pair(tmodel, jmodel, variables, x_np):
+    # flax is channels-last [B, s1, s2, s3, C]; torch is [B, C, d, h, w]
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3))))
+    t_out = np.transpose(t_out.numpy(), (0, 2, 3, 4, 1))
+    j_out = np.asarray(jmodel.apply(variables, jnp.asarray(x_np), train=False))
+    return t_out, j_out
+
+
+class TestForwardParity:
+    def test_param_tree_matches(self):
+        """The import must populate every parameter the flax model expects."""
+        tmodel, jmodel, variables = _build_pair("monai_v1")
+        x0 = jnp.zeros((1, 64, 64, 64, IN_CH))
+        expected = jax.jit(lambda k: jmodel.init(k, x0, train=False))(
+            jax.random.key(0)
+        )["params"]
+        got = variables["params"]
+        exp_shapes = jax.tree_util.tree_map(lambda a: tuple(a.shape), expected)
+        got_shapes = jax.tree_util.tree_map(lambda a: tuple(a.shape), got)
+        assert exp_shapes == got_shapes
+
+    def test_forward_parity_v1_merging(self):
+        """Random 32³ input through the full network: ≤1e-3 (fp32)."""
+        tmodel, jmodel, variables = _build_pair("monai_v1")
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1, 64, 64, 64, IN_CH)).astype(np.float32)
+        t_out, j_out = _forward_pair(tmodel, jmodel, variables, x)
+        scale = np.abs(t_out).max()
+        assert np.abs(t_out - j_out).max() <= 1e-3 * max(scale, 1.0)
+
+    def test_forward_parity_v2_product_order(self):
+        """Same with PatchMergingV2 ("mergingv2") neighbor ordering."""
+        tmodel, jmodel, variables = _build_pair("product", seed=1)
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, 64, 64, 64, IN_CH)).astype(np.float32)
+        t_out, j_out = _forward_pair(tmodel, jmodel, variables, x)
+        scale = np.abs(t_out).max()
+        assert np.abs(t_out - j_out).max() <= 1e-3 * max(scale, 1.0)
+
+    def test_merge_orders_differ(self):
+        """v1 and product orders are genuinely different functions — the
+        order flag is load-bearing, not decorative."""
+        tmodel, jmodel, variables = _build_pair("monai_v1", seed=2)
+        jmodel_wrong = SwinUNETR(
+            out_channels=OUT_CH,
+            feature_size=FS,
+            depths=DEPTHS,
+            num_heads=HEADS,
+            window_size=WINDOW,
+            use_fused=False,
+            monai_compat=True,
+            merge_order="product",
+        )
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(1, 64, 64, 64, IN_CH)).astype(np.float32)
+        t_out, j_right = _forward_pair(tmodel, jmodel, variables, x)
+        j_wrong = np.asarray(
+            jmodel_wrong.apply(variables, jnp.asarray(x), train=False)
+        )
+        assert np.abs(t_out - j_right).max() < np.abs(t_out - j_wrong).max()
+
+    def test_checkpoint_roundtrip_via_pth(self, tmp_path):
+        """Import from an actual reference-format .pth file (the
+        ``{"model_state_dict": ...}`` layout of src/models/build.py:153-180)
+        with the reference wrapper's ``model.`` prefix."""
+        tmodel, jmodel, variables = _build_pair("monai_v1", seed=3)
+        sd = {f"model.{k}": v for k, v in tmodel.state_dict().items()}
+        path = tmp_path / "ckpt.pth"
+        torch.save({"epoch": 7, "model_state_dict": sd}, path)
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        params = from_torch_swin_unetr(ckpt["model_state_dict"], depths=DEPTHS)
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(1, 64, 64, 64, IN_CH)).astype(np.float32)
+        t_out, j_out = _forward_pair(tmodel, jmodel, {"params": params}, x)
+        scale = np.abs(t_out).max()
+        assert np.abs(t_out - j_out).max() <= 1e-3 * max(scale, 1.0)
+
+
+def _synthetic_volume(shape=(96, 64, 64), seed=0):
+    """Multi-organ phantom: background + 3 labeled spheres, 2 modalities."""
+    rng = np.random.default_rng(seed)
+    coords = np.stack(
+        np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    ).astype(np.float32)
+    labels = np.zeros(shape, np.int32)
+    centers = [(24, 20, 28), (60, 40, 22), (78, 44, 46)]
+    radii = [14, 11, 9]
+    for organ, (c, r) in enumerate(zip(centers, radii), start=1):
+        dist = np.sqrt(((coords - np.asarray(c)[:, None, None, None]) ** 2).sum(0))
+        labels[dist < r] = organ
+    ct = labels.astype(np.float32)[..., None] * 0.3 + rng.normal(
+        size=(*shape, 1)
+    ).astype(np.float32) * 0.1
+    pet = (labels == 2).astype(np.float32)[..., None] * 2.0 + rng.normal(
+        size=(*shape, 1)
+    ).astype(np.float32) * 0.1
+    return np.concatenate([ct, pet], axis=-1), labels
+
+
+def _torch_sliding_window(tmodel, vol_np, roi, overlap):
+    """MONAI-semantics sliding window on the torch side: same tile grid
+    (trainer.py:370-395 envelope) and gaussian blend as our XLA op."""
+    h, w, d, c = vol_np.shape
+    starts = [
+        (sh, sw, sd)
+        for sh in _scan_starts(h, roi[0], overlap)
+        for sw in _scan_starts(w, roi[1], overlap)
+        for sd in _scan_starts(d, roi[2], overlap)
+    ]
+    weight = gaussian_importance_map(roi).astype(np.float32)
+    acc = np.zeros((h, w, d, OUT_CH), np.float32)
+    wacc = np.zeros((h, w, d, 1), np.float32)
+    with torch.no_grad():
+        for sh, sw, sd in starts:
+            patch = vol_np[sh : sh + roi[0], sw : sw + roi[1], sd : sd + roi[2]]
+            t_in = torch.from_numpy(np.transpose(patch[None], (0, 4, 1, 2, 3)))
+            logits = np.transpose(tmodel(t_in).numpy()[0], (1, 2, 3, 0))
+            acc[sh : sh + roi[0], sw : sw + roi[1], sd : sd + roi[2]] += (
+                logits * weight[..., None]
+            )
+            wacc[sh : sh + roi[0], sw : sw + roi[1], sd : sd + roi[2]] += weight[
+                ..., None
+            ]
+    return acc / wacc
+
+
+def _mean_foreground_dice(pred, labels, num_classes):
+    """Reference Dice definition (metrics.py:69-88): mean over foreground
+    classes, smooth 1e-5."""
+    dices = []
+    for k in range(1, num_classes):
+        p, t = pred == k, labels == k
+        inter = float(np.logical_and(p, t).sum())
+        dices.append((2 * inter + 1e-5) / (p.sum() + t.sum() + 1e-5))
+    return float(np.mean(dices))
+
+
+class TestEndToEndDiceParity:
+    def test_sliding_window_dice_within_half_percent(self):
+        """Same imported weights, full sliding-window pipeline both sides:
+        mean Dice must agree within 0.5% (the SURVEY §6 north-star bar)."""
+        depths = (1, 1, 1, 1)  # keep the CPU compile tractable
+        tmodel, jmodel, variables = _build_pair("monai_v1", depths=depths, seed=4)
+        vol, labels = _synthetic_volume()
+        roi, overlap = (64, 64, 64), 0.5
+
+        t_logits = _torch_sliding_window(tmodel, vol, roi, overlap)
+
+        def predict_fn(v, patches):
+            return jmodel.apply(v, patches, train=False)
+
+        j_logits = np.asarray(
+            sliding_window_inference(
+                jnp.asarray(vol),
+                predict_fn,
+                roi_size=roi,
+                num_classes=OUT_CH,
+                overlap=overlap,
+                sw_batch_size=4,
+                mode="gaussian",
+                params=variables,
+            )
+        )
+
+        t_pred = t_logits.argmax(-1)
+        j_pred = j_logits.argmax(-1)
+
+        agreement = float((t_pred == j_pred).mean())
+        assert agreement >= 0.999, f"voxel agreement {agreement}"
+
+        t_dice = _mean_foreground_dice(t_pred, labels, OUT_CH)
+        j_dice = _mean_foreground_dice(j_pred, labels, OUT_CH)
+        assert abs(t_dice - j_dice) <= 0.005, (t_dice, j_dice)
