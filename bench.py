@@ -1,11 +1,22 @@
 #!/usr/bin/env python3
-"""Benchmark: SwinUNETR PET/CT sliding-window inference, volumes/min/chip.
+"""Benchmark: the BASELINE.json north-star workload on one TPU chip.
 
-North star (BASELINE.md): ≥10 volumes/min/chip at roi 96³, overlap 0.5,
-gaussian blending, sw_batch 4, bf16 — on one TPU v5e chip.
+Headline metric — "SwinUNETR PET/CT **cross-attention** sliding-window
+inference" (BASELINE.json north_star; reference envelope
+/root/reference/configs/default.yaml:62-75,127-133): volumes/min/chip at
+roi 96³, overlap 0.5, gaussian blending, bf16. Target ≥10.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "volumes/min/chip", "vs_baseline": N}
+The single JSON line also reports:
+- ``swin_plain_vol_per_min`` — the same pipeline without the fusion module
+  (round-1 headline, for continuity);
+- ``train_step_ms`` / ``train_mfu`` — one 96³ feature-48 bf16+remat training
+  step (forward+backward+adamw), micro=1 (grad-accum scan is env-gated on
+  this dev box, see CLAUDE.md).
+
+Axon-relay rules baked in: volumes generated on device, inits jitted,
+completion forced by fetching a device-side scalar (block_until_ready does
+not block through the relay), params passed as jit arguments (never
+closed over — the remote compiler rejects big HLO constants).
 """
 
 import json
@@ -17,85 +28,173 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
+VOL_SHAPE = (192, 192, 256)
+ROI = (96, 96, 96)
+OVERLAP = 0.5
+SW_BATCH = 16  # 16 tiles/forward keeps the MXU fed (35ms/tile vs 89 at 4)
+NUM_CLASSES = 8
+V5E_PEAK_BF16 = 197e12  # FLOP/s, one v5e chip
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
+def _make_model(jnp, modality_fusion=None):
     from multimodal_organ_segmentation_tpu.models.swin_unetr import SwinUNETR
-    from multimodal_organ_segmentation_tpu.ops.sliding_window import (
-        sliding_window_inference,
-    )
 
-    # workload: realistic whole-body PET/CT grid, reference inference envelope
-    vol_shape = (192, 192, 256)
-    roi = (96, 96, 96)
-    overlap = 0.5
-    # tiles per forward: 16 keeps the MXU fed (35ms/tile vs 89ms at 4);
-    # blending output is identical for any batching — tiles are independent
-    sw_batch = 16
-    num_classes = 8
-
-    model = SwinUNETR(
-        out_channels=num_classes,
+    return SwinUNETR(
+        out_channels=NUM_CLASSES,
         feature_size=48,
         depths=(2, 2, 2, 2),
         num_heads=(3, 6, 12, 24),
         window_size=(7, 7, 7),
         dtype=jnp.bfloat16,
+        modality_fusion=modality_fusion,
     )
 
-    rng = np.random.default_rng(0)
-    x0 = jnp.zeros((1, *roi, 2), jnp.float32)
-    # jit the init: eager init dispatches hundreds of tiny ops (minutes
-    # through the axon relay)
+
+def _bench_sliding_window(jax, jnp, model, volume, n_iters=3):
+    from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+        sliding_window_inference,
+    )
+
+    x0 = jnp.zeros((1, *ROI, 2), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, x0, train=False))(jax.random.key(0))
 
     def predict_fn(v, patches):
         return model.apply(v, patches, train=False)
 
-    # generate the volume ON DEVICE: host→device bulk transfer through the
-    # axon relay is ~0.1 MB/s, a 75MB upload would dominate the bench
-    volume = jax.jit(
-        lambda key: jax.random.normal(key, (*vol_shape, 2), jnp.float32)
-    )(jax.random.key(1))
-
-    # Reduce to a scalar on device and fetch 4 bytes: on the axon relay,
-    # block_until_ready() does not actually block, and fetching the full
-    # logits volume through the tunnel is not the measured workload.
-    # The volume MUST be a jit argument — closing over it embeds a 75MB
-    # constant in the HLO (the remote compiler rejects it with HTTP 413).
     @jax.jit
     def run(v, vol):
         logits = sliding_window_inference(
             vol,
             predict_fn,
-            roi_size=roi,
-            num_classes=num_classes,
-            overlap=overlap,
-            sw_batch_size=sw_batch,
+            roi_size=ROI,
+            num_classes=NUM_CLASSES,
+            overlap=OVERLAP,
+            sw_batch_size=SW_BATCH,
             mode="gaussian",
             params=v,
         )
         return jnp.sum(jnp.argmax(logits, axis=-1).astype(jnp.int32))
 
-    # warmup/compile (value fetch forces completion)
-    float(run(variables, volume))
-
-    # timed steady-state
-    n_iters = 3
+    float(run(variables, volume))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(n_iters):
         float(run(variables, volume))
     dt = (time.perf_counter() - t0) / n_iters
+    return 60.0 / dt
 
-    vols_per_min = 60.0 / dt
+
+def _bench_train_step(jax, jnp, n_iters=5):
+    """96³ fs=48 bf16+remat train step (micro=1): ms/step and MFU."""
+    from multimodal_organ_segmentation_tpu.models.swin_unetr import SwinUNETR
+    from multimodal_organ_segmentation_tpu.train.losses import dice_ce_loss
+    from multimodal_organ_segmentation_tpu.train.optim import make_optimizer
+    from multimodal_organ_segmentation_tpu.train.trainer import (
+        TrainState,
+        make_train_step,
+    )
+    from multimodal_organ_segmentation_tpu.utils.config import default_config
+
+    model = SwinUNETR(
+        out_channels=NUM_CLASSES,
+        feature_size=48,
+        depths=(2, 2, 2, 2),
+        num_heads=(3, 6, 12, 24),
+        window_size=(7, 7, 7),
+        dtype=jnp.bfloat16,
+        use_remat=True,
+    )
+    tx = make_optimizer(default_config())
+    x0 = jnp.zeros((1, *ROI, 2), jnp.float32)
+    variables = dict(jax.jit(lambda k: model.init(k, x0, train=False))(jax.random.key(0)))
+    params = variables.pop("params")
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        extra={},
+    )
+    step = make_train_step(model, tx, lambda lg, lb: dice_ce_loss(lg, lb), accum_steps=1)
+
+    @jax.jit
+    def make_batch(key):
+        img = jax.random.normal(key, (1, 1, *ROI, 2), jnp.float32)
+        lbl = jax.random.randint(key, (1, 1, *ROI), 0, NUM_CLASSES)
+        return img, lbl
+
+    img, lbl = make_batch(jax.random.key(1))
+
+    # Through the axon relay a single 4-byte fetch costs seconds — far more
+    # than the ~0.2s step itself. Chain n_steps inside ONE jit (dynamic trip
+    # count → while loop, one compile) and difference two trip counts so the
+    # dispatch+fetch constant cancels exactly.
+    @jax.jit
+    def run_steps(state, img, lbl, key, n_steps):
+        def body(i, carry):
+            st, _ = carry
+            st, m = step(st, img, lbl, jax.random.fold_in(key, i))
+            return st, m["loss"].astype(jnp.float32)
+
+        _, loss = jax.lax.fori_loop(
+            0, n_steps, body, (state, jnp.zeros((), jnp.float32))
+        )
+        return loss
+
+    flops = None
+    try:
+        lowered = step.lower(state, img, lbl, jax.random.key(2))
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            ca = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    float(run_steps(state, img, lbl, jax.random.key(2), 1))  # compile + warm
+    k_short, k_long = 1, 1 + n_iters
+    t0 = time.perf_counter()
+    float(run_steps(state, img, lbl, jax.random.key(3), k_short))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run_steps(state, img, lbl, jax.random.key(3), k_long))
+    t_long = time.perf_counter() - t0
+    dt = (t_long - t_short) / (k_long - k_short)
+    mfu = (flops / dt / V5E_PEAK_BF16) if flops else None
+    return dt * 1e3, mfu
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    volume = jax.jit(
+        lambda key: jax.random.normal(key, (*VOL_SHAPE, 2), jnp.float32)
+    )(jax.random.key(1))
+
+    t_start = time.time()
+    xattn_vpm = _bench_sliding_window(
+        jax, jnp, _make_model(jnp, "cross_attention"), volume
+    )
+    print(f"# xattn flagship: {xattn_vpm:.2f} vol/min ({time.time()-t_start:.0f}s)",
+          file=sys.stderr, flush=True)
+    plain_vpm = _bench_sliding_window(jax, jnp, _make_model(jnp, None), volume)
+    print(f"# plain swin: {plain_vpm:.2f} vol/min ({time.time()-t_start:.0f}s)",
+          file=sys.stderr, flush=True)
+    train_ms, train_mfu = _bench_train_step(jax, jnp)
+    print(f"# train step: {train_ms:.1f} ms mfu={train_mfu} ({time.time()-t_start:.0f}s)",
+          file=sys.stderr, flush=True)
+
     result = {
-        "metric": "volumes/min/chip sliding-window inference (SwinUNETR 96^3 roi, "
-        f"{vol_shape[0]}x{vol_shape[1]}x{vol_shape[2]} PET/CT volume, bf16)",
-        "value": round(vols_per_min, 3),
+        "metric": "volumes/min/chip sliding-window inference (SwinUNETR + PET/CT "
+        f"cross-attention fusion, 96^3 roi, {VOL_SHAPE[0]}x{VOL_SHAPE[1]}x"
+        f"{VOL_SHAPE[2]} volume, bf16) — the BASELINE.json north-star workload",
+        "value": round(xattn_vpm, 3),
         "unit": "volumes/min/chip",
-        "vs_baseline": round(vols_per_min / 10.0, 3),
+        "vs_baseline": round(xattn_vpm / 10.0, 3),
+        "extra": {
+            "swin_plain_vol_per_min": round(plain_vpm, 3),
+            "train_step_ms_96c_fs48_bf16_remat_micro1": round(train_ms, 1),
+            "train_mfu": round(train_mfu, 4) if train_mfu else None,
+        },
     }
     print(json.dumps(result))
 

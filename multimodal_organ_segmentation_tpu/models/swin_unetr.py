@@ -119,11 +119,15 @@ class WindowAttention(nn.Module):
     """Multi-head self attention within windows + relative position bias.
 
     Two execution paths:
-    - fused Pallas kernel (TPU default): softmax(q·kᵀ + bias + mask)·v per
-      (window, head) entirely in VMEM — the XLA path materializes
-      ``[B·nW, h, N, N]`` scores in HBM (~0.5 GB/batch at stage 1 of a 96³
-      model), pure bandwidth waste;
-    - dense XLA path: CPU tests, attention-prob capture (sow), dropout.
+    - dense XLA path (default): scores materialize in HBM but XLA fuses the
+      whole qkv→scores→softmax→out chain — measured FASTER end-to-end than
+      the kernel at the 96³/7³ reference shapes (v5e, r2);
+    - fused Pallas kernel (opt-in ``use_fused=True``): softmax(q·kᵀ + bias
+      + mask)·v per (window, head) entirely in VMEM. Wins isolated at
+      stage-1 shapes (1.3×) and matters when windows grow enough that the
+      ``[B·nW, h, N, N]`` score tensor stops fitting; as a whole-model
+      path it is a fusion barrier (6% slower) — see the measured note in
+      ``__call__`` and scripts/bench_window_mha.py.
     """
 
     dim: int
@@ -131,7 +135,7 @@ class WindowAttention(nn.Module):
     window: Tuple[int, int, int]
     attn_drop: float = 0.0
     dtype: Dtype = jnp.float32
-    use_fused: Optional[bool] = None  # None = auto (TPU)
+    use_fused: Optional[bool] = None  # None = off (see measured note below)
     # the CONFIGURED window the bias table is sized for. When the grid is
     # smaller than the configured window, ``window`` is the clamped size but
     # the table keeps full size and the index map is sliced ``[:n, :n]`` —
@@ -168,11 +172,14 @@ class WindowAttention(nn.Module):
         bias = bias.transpose(2, 0, 1)  # [heads, N, N]
 
         capture = self.is_mutable_collection("intermediates")
-        use_fused = (
-            self.use_fused
-            if self.use_fused is not None
-            else jax.default_backend() == "tpu"
-        )
+        # Measured on TPU v5e (scripts/bench_window_mha.py, r2): the kernel
+        # wins ISOLATED at stage-1 shapes (22 vs 29 ms dispatch-corrected,
+        # 1.3x) but the pallas_call is a fusion barrier in the full graph —
+        # whole-model forward is 6% SLOWER fused (298 vs 282 ms at bs=8).
+        # XLA fuses the qkv->scores->softmax->out chain better than the
+        # kernel recovers, so the default is OFF; the flag stays for shapes
+        # where windows are much larger (score tensors stop fitting HBM).
+        use_fused = self.use_fused if self.use_fused is not None else False
         if use_fused and not capture and self.attn_drop == 0.0:
             from multimodal_organ_segmentation_tpu.ops.pallas.window_attention import (
                 window_mha,
@@ -397,7 +404,8 @@ class SwinUNETR(nn.Module):
     dtype: Dtype = jnp.float32
     # explainability: grad-capture points at pyramid outputs (see unet3d)
     enable_perturb: bool = False
-    # fused Pallas window attention (None = auto: on for TPU)
+    # fused Pallas window attention (opt-in; default off — measured 6%
+    # slower end-to-end on v5e at 96^3/7^3 shapes, see _WindowAttention)
     use_fused: Optional[bool] = None
     # tensor parallelism: mesh axis to shard activation channels over
     # (requires an active mesh context; GSPMD partitions the producing /

@@ -132,6 +132,7 @@ def _window_mha_fwd_impl(
     mask: Optional[jax.Array],
     num_windows: int,
     interpret: Optional[bool] = None,
+    force_d_pad: Optional[int] = None,
 ) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -140,7 +141,11 @@ def _window_mha_fwd_impl(
     scale = d**-0.5
 
     n_pad = ((n + 127) // 128) * 128
-    d_pad = max(128, ((d + 127) // 128) * 128)
+    # do NOT pad head_dim in HBM: Mosaic pads the lane dim inside VMEM for
+    # free, while an HBM pad (the round-1 kernel forced 128) multiplies
+    # q/k/v DMA traffic 8x at the SwinUNETR head_dim of 16 — that waste is
+    # exactly why the old kernel was only neutral vs XLA
+    d_pad = force_d_pad or d
 
     def to_prog(x):  # [BW, N, H, D] → [BW·H, Np, Dp]
         x = x.transpose(0, 2, 1, 3).reshape(bw * h, n, d)

@@ -81,9 +81,9 @@ def _true_params(method):
         g = p["grid"].shape[0]
         gx = np.linspace(0, np.pi, g)
         field = np.zeros((g, g, g, 3), np.float32)
-        field[..., 0] = 2.0 * np.sin(gx)[:, None, None] * np.cos(gx)[None, :, None]
-        field[..., 1] = -1.5 * np.cos(gx)[:, None, None] * np.sin(gx)[None, None, :]
-        field[..., 2] = 1.2 * np.sin(gx)[None, :, None] * np.sin(gx)[None, None, :]
+        field[..., 0] = 3.0 * np.sin(gx)[:, None, None] * np.cos(gx)[None, :, None]
+        field[..., 1] = -2.4 * np.cos(gx)[:, None, None] * np.sin(gx)[None, None, :]
+        field[..., 2] = 2.0 * np.sin(gx)[None, :, None] * np.sin(gx)[None, None, :]
         p["grid"] = jnp.asarray(field)
     return p
 
