@@ -510,8 +510,11 @@ class SwinUNETR(nn.Module):
                     dtype=self.dtype, name=f"aux_down{stage}",
                 )(aux)
                 aux = nn.gelu(aux, approximate=False)
+                # head_dim 96 (heads = c/96): d=16 heads leave the flash
+                # QK/PV matmuls at 12.5% MXU (K-dim pads to 128) — measured
+                # ~4x slower fusion than d=96 at the /4 stage (r2)
                 y = CrossAttentionFusion(
-                    num_heads=self.num_heads[min(stage + 1, 3)],
+                    num_heads=max(1, y.shape[-1] // 96),
                     dtype=self.dtype,
                     name=f"xfuse{stage}",
                 )(y, aux, train)

@@ -205,6 +205,62 @@ def from_torch_swin_unetr(
     return params
 
 
+def from_torch_dual_encoder(
+    state_dict: Mapping[str, Any],
+    num_levels: int,
+    num_modalities: int = 2,
+    fusion_type: str = "concat",
+) -> Dict[str, Any]:
+    """Reference DualEncoder state_dict → our DualEncoder params tree.
+
+    Maps the reference's per-modality encoders (dual_encoder.py:86-103:
+    ``encoders.{m}.init_conv`` + ``encoders.{m}.blocks.{i}``), shared
+    decoder (``decoder.{j}`` — deepest level first on both sides), 1×1
+    ``out_conv``, and the fusion parameters: ``concat`` → per-level 1×1
+    projection convs (dual_encoder.py:72-79), ``attention`` → the
+    CrossModalAttention SE MLP (dual_encoder.py:226-233; Sequential
+    indices 2 and 4 are its two Linear layers). ``add`` has no params.
+    Instance norms are affine-free on both sides.
+    """
+    sd = {k.removeprefix("backbone."): v for k, v in state_dict.items()}
+
+    params: Dict[str, Any] = {}
+    for m in range(num_modalities):
+        enc: Dict[str, Any] = {
+            "init_conv": _convblock(sd, f"encoders.{m}.init_conv")
+        }
+        for i in range(num_levels - 1):
+            enc[f"down{i}"] = {
+                "ConvBlock3D_0": _convblock(sd, f"encoders.{m}.blocks.{i}.conv")
+            }
+        params[f"encoder{m}"] = enc
+    for j in range(num_levels - 1):
+        params[f"up{j}"] = {
+            "ConvTranspose_0": {
+                "kernel": _conv_transpose_kernel(_to_np(sd[f"decoder.{j}.up.weight"])),
+                "bias": _to_np(sd[f"decoder.{j}.up.bias"]),
+            },
+            "ConvBlock3D_0": _convblock(sd, f"decoder.{j}.conv"),
+        }
+    params["out_conv"] = {
+        "kernel": _conv_kernel(_to_np(sd["out_conv.weight"])),
+        "bias": _to_np(sd["out_conv.bias"]),
+    }
+    if fusion_type == "concat":
+        for lv in range(num_levels):
+            params[f"fusion_proj{lv}"] = {
+                "kernel": _conv_kernel(_to_np(sd[f"fusion_proj.{lv}.weight"])),
+                "bias": _to_np(sd[f"fusion_proj.{lv}.bias"]),
+            }
+    elif fusion_type == "attention":
+        for lv in range(num_levels):
+            params[f"fusion_attn{lv}"] = {
+                "Dense_0": _dense(sd, f"fusion_layers.{lv}.attention.2"),
+                "Dense_1": _dense(sd, f"fusion_layers.{lv}.attention.4"),
+            }
+    return params
+
+
 def load_torch_checkpoint(path, num_levels: int) -> Dict[str, Any]:
     """Load a reference .pth checkpoint (tolerant of the reference's
     model_state_dict/state_dict/raw formats, build.py:140-146)."""

@@ -116,7 +116,12 @@ def _flash_forward(
     block_q = min(block_q, max(128, 1 << (n_q - 1).bit_length()))
     block_kv = min(block_kv, max(128, 1 << (n_k - 1).bit_length()))
 
-    d_pad = max(128, ((d + 127) // 128) * 128)
+    # do NOT pad head_dim in HBM: Mosaic pads the lane dim inside VMEM for
+    # free, while an HBM pad (this kernel forced 128 in round 1) multiplies
+    # q/k/v DMA traffic 8x at the cross-attention-fusion head_dim of 16 —
+    # ~20ms of pure padding DMA at the /4 fusion stage of a 96³ SwinUNETR.
+    # Same fix and rationale as ops/pallas/window_attention.py.
+    d_pad = d
     nq_pad = ((n_q + block_q - 1) // block_q) * block_q
     nk_pad = ((n_k + block_kv - 1) // block_kv) * block_kv
 

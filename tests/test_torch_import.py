@@ -66,3 +66,57 @@ class TestTorchImport:
         ref_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, params)
         init_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, init["params"])
         assert ref_shapes == init_shapes
+
+
+from src.models.backbones.dual_encoder import DualEncoder as RefDualEncoder  # noqa: E402
+
+from multimodal_organ_segmentation_tpu.models.dual_encoder import DualEncoder  # noqa: E402
+from multimodal_organ_segmentation_tpu.models.torch_import import (  # noqa: E402
+    from_torch_dual_encoder,
+)
+
+
+def _dual_parity(fusion, features=(4, 8), shape=(8, 8, 8), out_ch=3, seed=3,
+                 atol=2e-4):
+    torch.manual_seed(seed)
+    ref = RefDualEncoder(
+        in_channels_per_modality=1, num_modalities=2, out_channels=out_ch,
+        features=list(features), fusion_type=fusion, dropout=0.0,
+    )
+    ref.eval()
+
+    params = from_torch_dual_encoder(
+        ref.state_dict(), num_levels=len(features), num_modalities=2,
+        fusion_type=fusion,
+    )
+    ours = DualEncoder(
+        num_modalities=2, out_channels=out_ch, features=tuple(features),
+        fusion_type=fusion, dropout=0.0,
+    )
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(1, 2, *shape)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x)).numpy()  # [B, C, H, W, D]
+
+    x_cl = np.moveaxis(x, 1, -1)
+    our_out = np.asarray(
+        ours.apply({"params": params}, jnp.asarray(x_cl), train=False)
+    )
+    our_out = np.moveaxis(our_out, -1, 1)
+    np.testing.assert_allclose(our_out, ref_out, atol=atol, rtol=1e-3)
+
+
+class TestDualEncoderImport:
+    """Weight-level parity for the reference DualEncoder across its three
+    parameterized fusion strategies (dual_encoder.py:167-199)."""
+
+    def test_concat_fusion_parity(self):
+        _dual_parity("concat")
+
+    def test_add_fusion_parity(self):
+        _dual_parity("add", seed=4)
+
+    def test_attention_fusion_parity(self):
+        _dual_parity("attention", features=(8, 16), seed=5)
