@@ -77,6 +77,16 @@ class DualEncoder(nn.Module):
     # over this mesh axis (ring attention, SURVEY.md §2.10)
     sequence_axis: Optional[str] = None
     mesh: Any = None
+    # voxel-token cross attention is O(N²) compute: at 128³ the full-res
+    # level alone is ~5·10¹⁷ FLOPs per forward — unrunnable on ANY
+    # hardware (the reference's CrossAttentionFusion would need 17 TB of
+    # scores; it is exported but never wired there,
+    # src/models/fusion/__init__.py:7). Pyramid levels with more than this
+    # many tokens fall back to parameter-free additive fusion; quadratic
+    # attention applies where it is affordable (e.g. 24³=13824 tokens at
+    # level 2 of a 96³ grid). Raise it (with a device mesh + ring
+    # attention) to push attention up the pyramid.
+    xattn_max_tokens: int = 16384
 
     @nn.compact
     def __call__(
@@ -147,32 +157,33 @@ class DualEncoder(nn.Module):
                 f = AttentionFusion(dtype=self.dtype, name=f"fusion_attn{level}")(
                     level_feats, train
                 )
-            elif self.fusion_type == "cross_attention":
+            elif self.fusion_type in ("cross_attention", "bidirectional"):
                 others = (
                     level_feats[1]
                     if len(level_feats) == 2
                     else jnp.mean(jnp.stack(level_feats[1:], axis=0), axis=0)
                 )
-                f = CrossAttentionFusion(
-                    num_heads=self.cross_attn_heads,
-                    dtype=self.dtype,
-                    sequence_axis=self.sequence_axis,
-                    mesh=self.mesh,
-                    name=f"fusion_xattn{level}",
-                )(level_feats[0], others, train)
-            elif self.fusion_type == "bidirectional":
-                others = (
-                    level_feats[1]
-                    if len(level_feats) == 2
-                    else jnp.mean(jnp.stack(level_feats[1:], axis=0), axis=0)
-                )
-                f = BidirectionalCrossAttention(
-                    num_heads=self.cross_attn_heads,
-                    dtype=self.dtype,
-                    sequence_axis=self.sequence_axis,
-                    mesh=self.mesh,
-                    name=f"fusion_bixattn{level}",
-                )(level_feats[0], others, train)
+                _, fh, fw, fd, _ = level_feats[0].shape
+                if fh * fw * fd > self.xattn_max_tokens:
+                    # O(N²) budget exceeded at this grid: additive fusion
+                    # (see xattn_max_tokens)
+                    f = level_feats[0] + others
+                elif self.fusion_type == "cross_attention":
+                    f = CrossAttentionFusion(
+                        num_heads=self.cross_attn_heads,
+                        dtype=self.dtype,
+                        sequence_axis=self.sequence_axis,
+                        mesh=self.mesh,
+                        name=f"fusion_xattn{level}",
+                    )(level_feats[0], others, train)
+                else:
+                    f = BidirectionalCrossAttention(
+                        num_heads=self.cross_attn_heads,
+                        dtype=self.dtype,
+                        sequence_axis=self.sequence_axis,
+                        mesh=self.mesh,
+                        name=f"fusion_bixattn{level}",
+                    )(level_feats[0], others, train)
             elif self.fusion_type == "suv_guided":
                 # gate the primary-modality (CT) features by the raw SUV
                 # volume; add the other modalities' features back in so
@@ -232,4 +243,5 @@ def build_dual_encoder(config, dtype=jnp.float32) -> DualEncoder:
         enable_perturb=bool(config.get("model.enable_perturb", False)),
         sequence_axis=str(sequence_axis) if sequence_axis else None,
         mesh=mesh,
+        xattn_max_tokens=int(fusion.get("max_tokens", 16384)),
     )

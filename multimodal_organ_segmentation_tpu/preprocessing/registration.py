@@ -4,8 +4,9 @@ reference: src/preprocessing/registration.py:21-288).
 Capabilities mirrored:
 
 - methods: translation / rigid (Euler 3D about the volume center) /
-  affine / deformable (coarse displacement grid ≈ B-spline mesh,
-  registration.py:209-222);
+  affine / deformable (cubic B-spline FFD: mesh_size M → (M+3)³ control
+  points per axis, uniform cubic basis, matching SimpleITK's
+  BSplineTransformInitializer convention, registration.py:209-222);
 - metrics: mattes_mutual_information (differentiable Parzen soft-binned
   joint histogram, 50 bins), correlation (negative NCC), mean_squares
   (registration.py:237-244);
@@ -92,11 +93,8 @@ def transform_coords(
         A = jnp.eye(3) + params["A"]
         out = A @ (c - center[:, None]) + center[:, None] + params["t"][:, None]
     elif method == "deformable":
-        # coarse displacement grid upsampled to the volume (B-spline-like)
-        from multimodal_organ_segmentation_tpu.ops.resize import resize_linear
-
-        disp = params["grid"]  # [gh, gw, gd, 3]
-        full = resize_linear(disp, grid_shape, spatial_axes=(0, 1, 2))
+        # cubic B-spline FFD displacement field from the control grid
+        full = bspline_upsample(params["grid"], grid_shape)
         out = c + full.reshape(-1, 3).T + params["t"][:, None]
     else:
         raise ValueError(f"unknown method {method}")
@@ -110,9 +108,49 @@ def init_params(method: str, mesh_size: int = 4) -> Dict[str, jnp.ndarray]:
     elif method == "affine":
         p["A"] = jnp.zeros((3, 3))
     elif method == "deformable":
-        g = mesh_size + 1
+        g = mesh_size + 3  # cubic spline: mesh cells + order control points
         p["grid"] = jnp.zeros((g, g, g, 3))
     return p
+
+
+def _bspline_weights_1d(out_len: int, n_ctrl: int) -> jnp.ndarray:
+    """Dense [out_len, n_ctrl] uniform-cubic-B-spline evaluation matrix.
+
+    The physical extent is divided into ``n_ctrl - 3`` cells (SimpleITK
+    BSplineTransform convention: mesh_size cells need mesh_size + order
+    control points per axis). Output position h maps to spline coordinate
+    u = h·M/(out_len-1) ∈ [0, M]; with cell i = ⌊u⌋ and t = u - i the four
+    uniform cubic basis functions weight control points i..i+3.
+
+    Rows have 4 non-zeros; built dense because out_len ≤ a few hundred and
+    n_ctrl is tiny, so the whole displacement upsample runs as three MXU
+    matmuls (same design as ops/resize.py).
+    """
+    m = n_ctrl - 3
+    u = jnp.arange(out_len, dtype=jnp.float32) * (m / max(out_len - 1, 1))
+    i = jnp.clip(jnp.floor(u), 0, m - 1)
+    t = u - i
+    b0 = (1 - t) ** 3 / 6.0
+    b1 = (3 * t**3 - 6 * t**2 + 4) / 6.0
+    b2 = (-3 * t**3 + 3 * t**2 + 3 * t + 1) / 6.0
+    b3 = t**3 / 6.0
+    cols = i[:, None].astype(jnp.int32) + jnp.arange(4)[None, :]  # [H, 4]
+    vals = jnp.stack([b0, b1, b2, b3], axis=1)  # [H, 4]
+    onehot = jax.nn.one_hot(cols, n_ctrl, dtype=jnp.float32)  # [H, 4, n_ctrl]
+    return jnp.einsum("hk,hkc->hc", vals, onehot)
+
+
+def bspline_upsample(
+    control: jnp.ndarray, out_shape: Tuple[int, int, int]
+) -> jnp.ndarray:
+    """[g0, g1, g2, C] control grid → [H, W, D, C] cubic-B-spline field."""
+    g0, g1, g2, _ = control.shape
+    w0 = _bspline_weights_1d(out_shape[0], g0)
+    w1 = _bspline_weights_1d(out_shape[1], g1)
+    w2 = _bspline_weights_1d(out_shape[2], g2)
+    out = jnp.einsum("ha,awdc->hwdc", w0, control)
+    out = jnp.einsum("wb,hbdc->hwdc", w1, out)
+    return jnp.einsum("dg,hwgc->hwdc", w2, out)
 
 
 # ---------------------------------------------------------------------------

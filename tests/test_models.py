@@ -405,3 +405,38 @@ class TestAttentionUNet:
         assert all(
             np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g)
         )
+
+
+class TestXattnTokenBudget:
+    """Cross-attention fusion is O(N²) — levels above ``xattn_max_tokens``
+    must fall back to additive fusion (and carry no attention params)."""
+
+    def test_budget_gates_levels(self):
+        from multimodal_organ_segmentation_tpu.models.dual_encoder import DualEncoder
+
+        model = DualEncoder(
+            num_modalities=2, out_channels=3, features=(4, 8),
+            fusion_type="cross_attention", cross_attn_heads=2,
+            xattn_max_tokens=100,  # 16³=4096 > 100 > 8³=512? no: gate level0 only
+        )
+        x = jnp.zeros((1, 8, 8, 8, 2))
+        variables = model.init(jax.random.key(0), x, train=False)
+        keys = set(variables["params"].keys())
+        # level0 (8³=512 tokens > 100) gated to additive → no params;
+        # level1 (4³=64 ≤ 100) keeps cross attention
+        assert "fusion_xattn0" not in keys
+        assert "fusion_xattn1" in keys
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (1, 8, 8, 8, 3)
+
+    def test_budget_off_keeps_all_levels(self):
+        from multimodal_organ_segmentation_tpu.models.dual_encoder import DualEncoder
+
+        model = DualEncoder(
+            num_modalities=2, out_channels=3, features=(4, 8),
+            fusion_type="cross_attention", cross_attn_heads=2,
+            xattn_max_tokens=1 << 30,
+        )
+        x = jnp.zeros((1, 8, 8, 8, 2))
+        variables = model.init(jax.random.key(0), x, train=False)
+        assert {"fusion_xattn0", "fusion_xattn1"} <= set(variables["params"].keys())

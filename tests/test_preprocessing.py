@@ -407,3 +407,50 @@ class TestResample:
         out, _ = resample_volume(lbl, np.eye(4), (0.5, 0.5, 0.5), order=0)
         assert out.shape == (24, 24, 24)
         assert set(np.unique(out)) <= set(np.unique(lbl))
+
+
+class TestBSplineFFD:
+    """Cubic B-spline free-form deformation (SimpleITK BSplineTransform
+    convention: mesh_size M cells → M+3 control points per axis)."""
+
+    def test_partition_of_unity(self):
+        """A constant control grid must produce that constant everywhere
+        (cubic B-spline basis functions sum to 1)."""
+        from multimodal_organ_segmentation_tpu.preprocessing.registration import (
+            bspline_upsample,
+        )
+
+        import jax.numpy as jnp
+
+        ctrl = jnp.full((7, 6, 5, 3), 2.5)
+        field = bspline_upsample(ctrl, (16, 12, 9))
+        np.testing.assert_allclose(np.asarray(field), 2.5, atol=1e-5)
+
+    def test_matches_dense_basis_evaluation(self):
+        """The separable matmul evaluation equals the direct Σ B_i B_j B_k
+        tensor-product formula at every voxel."""
+        from multimodal_organ_segmentation_tpu.preprocessing.registration import (
+            _bspline_weights_1d,
+            bspline_upsample,
+        )
+
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        ctrl = jnp.asarray(rng.normal(size=(6, 5, 7, 2)).astype(np.float32))
+        shape = (11, 8, 13)
+        got = np.asarray(bspline_upsample(ctrl, shape))
+
+        ws = [np.asarray(_bspline_weights_1d(shape[a], ctrl.shape[a])) for a in range(3)]
+        want = np.einsum("ha,wb,dg,abgc->hwdc", ws[0], ws[1], ws[2], np.asarray(ctrl))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_weights_rows_sum_to_one_and_are_local(self):
+        from multimodal_organ_segmentation_tpu.preprocessing.registration import (
+            _bspline_weights_1d,
+        )
+
+        w = np.asarray(_bspline_weights_1d(33, 9))
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-6)
+        # cubic support: at most 4 non-zero entries per row
+        assert int((np.abs(w) > 1e-9).sum(axis=1).max()) <= 4
