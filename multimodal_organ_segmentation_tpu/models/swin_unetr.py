@@ -191,14 +191,29 @@ class WindowAttention(nn.Module):
             return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
         scale = head_dim ** -0.5
-        attn = (
-            jnp.einsum(
-                "bnhd,bmhd->bhnm",
-                q.astype(jnp.float32),
-                k.astype(jnp.float32),
-            )
-            * scale
-        )
+        # Precision split: for f32 models (CPU parity / checkpoint-import
+        # tests) everything stays exactly f32 as before. For bf16 models the
+        # [B·nW, h, N, N] score/prob tensors — ~4 GB f32 at stage 0 of a
+        # 96³ bs=8 forward, the encoder's dominant HBM traffic — materialize
+        # in bf16 (matmuls still accumulate f32, softmax still runs f32
+        # inside one fused elementwise kernel).
+        exact = self.dtype == jnp.float32
+        if exact:
+            q, k, v = (t.astype(jnp.float32) for t in (q, k, v))
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if not exact:
+            # keep the whole bias→mask→softmax chain in self.dtype: a
+            # bf16→f32→bf16 round trip here gets elided by
+            # --xla_allow_excess_precision, leaving the score tensor f32 in
+            # HBM AND breaking the scores/probs buffer alias (measured
+            # +4 GB → HBM OOM at sw_batch 16). jax's softmax subtracts the
+            # row max first, so bf16 internals are stable at window sizes.
+            attn = attn.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+            if mask is not None:
+                mask = mask.astype(self.dtype)
         attn = attn + bias[None]
         if mask is not None:
             # mask: [nW, N, N]; attn rows are grouped per batch as B·nW
@@ -216,7 +231,9 @@ class WindowAttention(nn.Module):
         if self.attn_drop > 0:
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
 
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v.astype(jnp.float32))
+        out = jnp.einsum(
+            "bhnm,bmhd->bnhd", attn, v, preferred_element_type=jnp.float32
+        )
         out = out.reshape(b_, n, c).astype(x.dtype)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
