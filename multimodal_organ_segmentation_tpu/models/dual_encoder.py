@@ -84,8 +84,10 @@ class DualEncoder(nn.Module):
     # src/models/fusion/__init__.py:7). Pyramid levels with more than this
     # many tokens fall back to parameter-free additive fusion; quadratic
     # attention applies where it is affordable (e.g. 24³=13824 tokens at
-    # level 2 of a 96³ grid). Raise it (with a device mesh + ring
-    # attention) to push attention up the pyramid.
+    # level 2 of a 96³ grid). When ``sequence_axis``/``mesh`` are set the
+    # effective budget is multiplied by the axis size — the K/V ring shards
+    # both memory and the O(N²) compute, so a mesh pushes attention up the
+    # pyramid (see _fuse).
     xattn_max_tokens: int = 16384
 
     @nn.compact
@@ -164,7 +166,19 @@ class DualEncoder(nn.Module):
                     else jnp.mean(jnp.stack(level_feats[1:], axis=0), axis=0)
                 )
                 _, fh, fw, fd, _ = level_feats[0].shape
-                if fh * fw * fd > self.xattn_max_tokens:
+                n_tok = fh * fw * fd
+                # ring attention shards BOTH the token-axis memory and the
+                # O(N²) compute by the sequence-axis size (each device does
+                # its query shard against the rotating K/V ring), so a mesh
+                # raises the affordable budget proportionally — sequence
+                # parallelism pushes cross attention UP the pyramid rather
+                # than merely re-running what one chip could already do.
+                budget = self.xattn_max_tokens
+                if self.sequence_axis is not None and self.mesh is not None:
+                    size = dict(self.mesh.shape).get(self.sequence_axis, 1)
+                    if size > 1 and n_tok % size == 0:
+                        budget *= size
+                if n_tok > budget:
                     # O(N²) budget exceeded at this grid: additive fusion
                     # (see xattn_max_tokens)
                     f = level_feats[0] + others

@@ -195,8 +195,8 @@ class WindowAttention(nn.Module):
         # tests) everything stays exactly f32 as before. For bf16 models the
         # [B·nW, h, N, N] score/prob tensors — ~4 GB f32 at stage 0 of a
         # 96³ bs=8 forward, the encoder's dominant HBM traffic — materialize
-        # in bf16 (matmuls still accumulate f32, softmax still runs f32
-        # inside one fused elementwise kernel).
+        # in bf16, and bias/mask/softmax run in bf16 too (matmuls still
+        # accumulate f32; softmax subtracts the row max so bf16 is stable).
         exact = self.dtype == jnp.float32
         if exact:
             q, k, v = (t.astype(jnp.float32) for t in (q, k, v))
@@ -250,6 +250,11 @@ class SwinBlock(nn.Module):
     attn_drop: float = 0.0
     dtype: Dtype = jnp.float32
     use_fused: Optional[bool] = None
+    # MONAI sizes the bias table by the CONSTRUCTOR window and slices the
+    # 7³-raster index [:n,:n] even when the grid clamps the window — a
+    # geometric quirk (offset pairs collide) that checkpoint-import parity
+    # depends on. Native models use the clamped window's own table/index.
+    monai_table: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -287,7 +292,7 @@ class SwinBlock(nn.Module):
             attn_drop=self.attn_drop,
             dtype=self.dtype,
             use_fused=self.use_fused,
-            table_window=tuple(self.window),  # table sized by configured window
+            table_window=tuple(self.window) if self.monai_table else None,
             name="attn",
         )(windows, mask, train)
         y = window_unpartition(attended, window, (b, hp, wp, dp))
@@ -508,6 +513,7 @@ class SwinUNETR(nn.Module):
                     attn_drop=self.attn_drop_rate,
                     dtype=self.dtype,
                     use_fused=self.use_fused,
+                    monai_table=self.monai_compat,
                     name=f"stage{stage}_block{bi}",
                 )(y, train)
             y = constrain_channels(y, self.tp_axis)
@@ -527,11 +533,12 @@ class SwinUNETR(nn.Module):
                     dtype=self.dtype, name=f"aux_down{stage}",
                 )(aux)
                 aux = nn.gelu(aux, approximate=False)
-                # head_dim 96 (heads = c/96): d=16 heads leave the flash
-                # QK/PV matmuls at 12.5% MXU (K-dim pads to 128) — measured
-                # ~4x slower fusion than d=96 at the /4 stage (r2)
+                # head_dim ~96: d=16 heads leave the flash QK/PV matmuls
+                # at 12.5% MXU (K-dim pads to 128) — measured ~4x slower
+                # fusion than d=96 at the /4 stage (r2). Heads must also
+                # divide the channel count (e.g. 320ch → 2 heads, not 3).
                 y = CrossAttentionFusion(
-                    num_heads=max(1, y.shape[-1] // 96),
+                    num_heads=_divisor_heads(y.shape[-1], 96),
                     dtype=self.dtype,
                     name=f"xfuse{stage}",
                 )(y, aux, train)
@@ -598,6 +605,15 @@ class SwinUNETR(nn.Module):
         return [fs, fs * 2, fs * 4, fs * 8, fs * 16]
 
 
+def _divisor_heads(channels: int, target_head_dim: int) -> int:
+    """Largest head count ≤ channels/target_head_dim that divides channels
+    (≥1). Keeps head_dim ≥ ~target while honoring the divisibility rule."""
+    h = max(1, channels // target_head_dim)
+    while channels % h:
+        h -= 1
+    return h
+
+
 def build_swin_unetr(config, dtype=jnp.float32) -> SwinUNETR:
     """Factory from config (reference: swin_unetr.py:179-200)."""
     backbone = config.get("model.backbone", {}) or {}
@@ -607,6 +623,12 @@ def build_swin_unetr(config, dtype=jnp.float32) -> SwinUNETR:
     modality_fusion = (
         "cross_attention" if (ftype == "cross_attention" and multimodal) else None
     )
+    if modality_fusion and bool(backbone.get("monai_compat", False)):
+        raise ValueError(
+            "model.backbone.monai_compat reproduces the reference graph "
+            "exactly and cannot be combined with model.fusion.type="
+            "cross_attention (this framework's extension) — drop one."
+        )
     return SwinUNETR(
         out_channels=int(config.get("model.out_channels", 8)),
         feature_size=int(backbone.get("feature_size", 48)),
@@ -624,12 +646,6 @@ def build_swin_unetr(config, dtype=jnp.float32) -> SwinUNETR:
 
 
 def _config_tp_axis(config) -> Optional[str]:
-    """``parallel.tp_axis`` when set, else "model" when the mesh has a
-    non-trivial model axis (parallel.mesh.model > 1)."""
-    tp = config.get("parallel.tp_axis", None)
-    if tp:
-        return str(tp)
-    mesh_cfg = config.get("parallel.mesh", {}) or {}
-    if hasattr(mesh_cfg, "to_dict"):
-        mesh_cfg = mesh_cfg.to_dict()
-    return "model" if int(dict(mesh_cfg).get("model", 1) or 1) > 1 else None
+    from multimodal_organ_segmentation_tpu.parallel.mesh import config_tp_axis
+
+    return config_tp_axis(config)

@@ -110,8 +110,6 @@ def build_unet3d(config, dtype=jnp.float32) -> UNet3D:
 
 
 def _config_tp_axis(config):
-    from multimodal_organ_segmentation_tpu.models.swin_unetr import (
-        _config_tp_axis as _tp,
-    )
+    from multimodal_organ_segmentation_tpu.parallel.mesh import config_tp_axis
 
-    return _tp(config)
+    return config_tp_axis(config)

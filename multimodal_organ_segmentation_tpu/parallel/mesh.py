@@ -87,3 +87,16 @@ def constrain_channels(x, axis: Optional[str]):
         return jax.lax.with_sharding_constraint(x, spec)
     except Exception:
         return x
+
+
+def config_tp_axis(config):
+    """Tensor-parallel mesh axis from config: ``parallel.tp_axis`` when set,
+    else "model" when the configured mesh has a non-trivial model axis
+    (``parallel.mesh.model > 1``). Shared by every TP-capable model builder."""
+    tp = config.get("parallel.tp_axis", None)
+    if tp:
+        return str(tp)
+    mesh_cfg = config.get("parallel.mesh", {}) or {}
+    if hasattr(mesh_cfg, "to_dict"):
+        mesh_cfg = mesh_cfg.to_dict()
+    return "model" if int(dict(mesh_cfg).get("model", 1) or 1) > 1 else None

@@ -135,3 +135,27 @@ class TestModelWiring:
         assert backbone.sequence_axis == "data"
         assert backbone.mesh is not None
         assert dict(backbone.mesh.shape)["data"] > 1
+
+    def test_mesh_scales_xattn_budget(self):
+        """A sequence-parallel mesh multiplies the O(N²) token budget by the
+        axis size (the K/V ring shards memory AND compute), engaging cross
+        attention at pyramid levels a single device's budget would gate."""
+        import numpy as np_
+        from jax.sharding import Mesh
+        from multimodal_organ_segmentation_tpu.models.dual_encoder import DualEncoder
+
+        kwargs = dict(
+            num_modalities=2, out_channels=2, features=(4, 8),
+            fusion_type="cross_attention", cross_attn_heads=2,
+            xattn_max_tokens=100,  # < 8³=512 level-0 tokens
+        )
+        x = jnp.zeros((1, 8, 8, 8, 2))
+
+        solo = DualEncoder(**kwargs)
+        solo_params = solo.init(jax.random.key(0), x, train=False)["params"]
+        assert "fusion_xattn0" not in solo_params  # gated: 512 > 100
+
+        mesh = Mesh(np_.asarray(jax.devices()[:8]), ("seq",))
+        ringed = DualEncoder(**kwargs, sequence_axis="seq", mesh=mesh)
+        ring_params = ringed.init(jax.random.key(0), x, train=False)["params"]
+        assert "fusion_xattn0" in ring_params  # 512 <= 100 * 8
