@@ -39,6 +39,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--output", default=None)
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--resume", default=None)
+    parser.add_argument(
+        "--pretrained", default=None,
+        help="reference torch .pth to import as initial weights",
+    )
     parser.add_argument("--device", default=None, choices=["tpu", "cpu"])
     parser.add_argument("--num-workers", dest="num_workers", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)

@@ -261,16 +261,72 @@ def from_torch_dual_encoder(
     return params
 
 
-def load_torch_checkpoint(path, num_levels: int) -> Dict[str, Any]:
+def _load_state_dict(path) -> Dict[str, Any]:
     """Load a reference .pth checkpoint (tolerant of the reference's
     model_state_dict/state_dict/raw formats, build.py:140-146)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
-        sd = ckpt["model_state_dict"]
-    elif isinstance(ckpt, dict) and "state_dict" in ckpt:
-        sd = ckpt["state_dict"]
+        return ckpt["model_state_dict"]
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        return ckpt["state_dict"]
+    return ckpt
+
+
+def load_torch_checkpoint(path, num_levels: int) -> Dict[str, Any]:
+    return from_torch_unet3d(_load_state_dict(path), num_levels)
+
+
+def import_torch_checkpoint(path, config) -> Dict[str, Any]:
+    """Reference ``load_pretrained`` analog (build.py:66-69), config-driven:
+    load a reference .pth and map it onto this config's model — returned
+    params are nested under ``backbone`` to match
+    ``MultiModalSegmentationModel``'s tree.
+
+    Dispatch mirrors the reference model registry: unet3d → UNet3D mapping,
+    swin_unetr → MONAI SwinUNETR mapping (requires
+    ``model.backbone.monai_compat: true`` so the flax graph reproduces the
+    checkpoint's wiring exactly), dual_encoder → per-modality encoders +
+    fusion. ``attention_unet`` has no reference implementation to import
+    from (its registry never built one, build.py:16-21).
+    """
+    sd = _load_state_dict(path)
+    name = str(config.get("model.name", "unet3d")).lower()
+    backbone = config.get("model.backbone", {}) or {}
+    if hasattr(backbone, "to_dict"):
+        backbone = backbone.to_dict()
+
+    if name in ("unet", "unet3d"):
+        feats = list(backbone.get("features", [32, 64, 128, 256]))
+        params = from_torch_unet3d(sd, num_levels=len(feats))
+    elif name == "swin_unetr":
+        if not bool(backbone.get("monai_compat", False)):
+            raise ValueError(
+                "importing a reference SwinUNETR .pth requires "
+                "model.backbone.monai_compat: true (the checkpoint encodes "
+                "MONAI's graph wiring — post-merge taps, v1 merge order, "
+                "constructor-window bias tables)"
+            )
+        params = from_torch_swin_unetr(
+            sd, depths=tuple(backbone.get("depths", [2, 2, 2, 2]))
+        )
+    elif name == "dual_encoder":
+        fusion = config.get("model.fusion", {}) or {}
+        ftype = str(
+            fusion.get("type", "concat") if hasattr(fusion, "get") else "concat"
+        ).lower()
+        if ftype in ("early", "late"):
+            ftype = "concat"
+        feats = list(backbone.get("features", [32, 64, 128, 256, 512]))
+        params = from_torch_dual_encoder(
+            sd,
+            num_levels=len(feats),
+            num_modalities=len(config.get("data.modalities", ["CT", "PET"])),
+            fusion_type=ftype,
+        )
     else:
-        sd = ckpt
-    return from_torch_unet3d(sd, num_levels)
+        raise ValueError(
+            f"no reference torch-checkpoint mapping for model.name={name!r}"
+        )
+    return {"backbone": params}

@@ -212,6 +212,9 @@ class Trainer:
             for k, v in variables.items()
             if k not in ("intermediates", "perturbations")
         }
+        pretrained = self.config.get("model.pretrained", None)
+        if pretrained:
+            params = self._import_pretrained(str(pretrained), params)
         opt_state = self.tx.init(params)
         state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
@@ -225,6 +228,28 @@ class Trainer:
             self.resume(self._resume_from)
             self._resume_from = None
         return self.state
+
+    def _import_pretrained(self, path, fresh_params):
+        """``model.pretrained`` → reference torch .pth mapped onto our tree
+        (reference load_pretrained, build.py:66-69), validated leaf-by-leaf
+        against the freshly initialized shapes."""
+        from multimodal_organ_segmentation_tpu.models.torch_import import (
+            import_torch_checkpoint,
+        )
+
+        imported = jax.tree_util.tree_map(
+            jnp.asarray, import_torch_checkpoint(path, self.config)
+        )
+        ref = jax.tree_util.tree_map(lambda a: jnp.shape(a), fresh_params)
+        got = jax.tree_util.tree_map(lambda a: jnp.shape(a), imported)
+        if ref != got:
+            raise ValueError(
+                f"pretrained checkpoint {path} does not match the configured "
+                f"model: expected shapes {ref}, imported {got}"
+            )
+        if self.logger:
+            self.logger.info(f"Imported reference torch weights: {path}")
+        return imported
 
     def resume(self, path) -> None:
         ckpt = load_checkpoint(path, target=self.state)

@@ -152,6 +152,7 @@ def merge_config_with_args(config: ConfigNode, args) -> ConfigNode:
         "model": "model.name",
         "fusion": "model.fusion.type",
         "modalities": "data.modalities",
+        "pretrained": "model.pretrained",
     }
     for attr, path in mapping.items():
         value = getattr(args, attr, None)

@@ -120,3 +120,68 @@ class TestDualEncoderImport:
 
     def test_attention_fusion_parity(self):
         _dual_parity("attention", features=(8, 16), seed=5)
+
+
+class TestPretrainedConfigPath:
+    """``model.pretrained`` / --pretrained: the reference load_pretrained
+    analog — a reference .pth becomes the Trainer's initial params."""
+
+    def test_trainer_initializes_from_reference_pth(self, tmp_path):
+        import yaml
+        from multimodal_organ_segmentation_tpu.data.synthetic import (
+            generate_synthetic_dataset,
+        )
+        from multimodal_organ_segmentation_tpu.train.trainer import Trainer
+        from multimodal_organ_segmentation_tpu.utils.config import load_config
+
+        torch.manual_seed(7)
+        ref = RefUNet3D(in_channels=2, out_channels=4, features=[4, 8])
+        torch.save({"model_state_dict": ref.state_dict()}, tmp_path / "ref.pth")
+
+        generate_synthetic_dataset(
+            tmp_path / "data", n_train=2, n_val=1, n_test=1,
+            shape=(16, 16, 16), num_classes=4, seed=0,
+        )
+        cfg = load_config("configs/tiny_cpu.yaml")
+        raw = cfg.to_dict()
+        raw["data"]["data_root"] = str(tmp_path / "data")
+        raw["experiment"]["output_dir"] = str(tmp_path / "out")
+        raw["experiment"]["log_dir"] = str(tmp_path / "logs")
+        raw["model"]["backbone"]["features"] = [4, 8]
+        raw["model"]["out_channels"] = 4
+        raw["model"]["pretrained"] = str(tmp_path / "ref.pth")
+        with open(tmp_path / "cfg.yaml", "w") as f:
+            yaml.safe_dump(raw, f)
+        config = load_config(tmp_path / "cfg.yaml")
+        config["_args"] = {}
+
+        trainer = Trainer(config)
+        state = trainer.init_state(np.zeros((16, 16, 16, 2), np.float32))
+
+        expected = from_torch_unet3d(ref.state_dict(), num_levels=2)
+        got = state.params["backbone"]
+        np.testing.assert_allclose(
+            np.asarray(got["out_conv"]["kernel"]),
+            expected["out_conv"]["kernel"], atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["init_conv"]["Conv_0"]["kernel"]),
+            expected["init_conv"]["Conv_0"]["kernel"], atol=1e-6,
+        )
+
+    def test_shape_mismatch_is_rejected(self, tmp_path):
+        from multimodal_organ_segmentation_tpu.train.trainer import Trainer
+        from multimodal_organ_segmentation_tpu.utils.config import load_config
+
+        torch.manual_seed(8)
+        ref = RefUNet3D(in_channels=2, out_channels=4, features=[8, 16])  # wrong
+        torch.save({"model_state_dict": ref.state_dict()}, tmp_path / "ref.pth")
+
+        config = load_config("configs/tiny_cpu.yaml")
+        config.set("model.backbone.features", [4, 8])
+        config.set("model.out_channels", 4)
+        config.set("model.pretrained", str(tmp_path / "ref.pth"))
+        config["_args"] = {}
+        trainer = Trainer(config)
+        with pytest.raises(ValueError, match="does not match"):
+            trainer.init_state(np.zeros((16, 16, 16, 2), np.float32))
