@@ -31,7 +31,9 @@ import numpy as np
 VOL_SHAPE = (192, 192, 256)
 ROI = (96, 96, 96)
 OVERLAP = 0.5
-SW_BATCH = 16  # 16 tiles/forward keeps the MXU fed (35ms/tile vs 89 at 4)
+SW_BATCH = 15  # swept r2: 8→38.2, 12→32.9, 15→40.4, 16→39.4, 24→OOM vol/min
+# (the 192×192×256 grid has 45 tiles; 15 divides it exactly — zero padded
+# tile slots — and feeds the MXU as well as 16)
 NUM_CLASSES = 8
 V5E_PEAK_BF16 = 197e12  # FLOP/s, one v5e chip
 

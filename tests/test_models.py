@@ -440,3 +440,30 @@ class TestXattnTokenBudget:
         x = jnp.zeros((1, 8, 8, 8, 2))
         variables = model.init(jax.random.key(0), x, train=False)
         assert {"fusion_xattn0", "fusion_xattn1"} <= set(variables["params"].keys())
+
+
+class TestBf16ScorePath:
+    """The bf16 window-attention score path (r2 perf change) must stay
+    numerically consistent with the exact-f32 path it replaces."""
+
+    def test_bf16_forward_tracks_f32(self):
+        from multimodal_organ_segmentation_tpu.models.swin_unetr import SwinUNETR
+
+        kwargs = dict(
+            out_channels=3, feature_size=4, depths=(1, 1, 1, 1),
+            num_heads=(2, 2, 2, 2), window_size=(4, 4, 4), use_fused=False,
+        )
+        x = jax.random.normal(jax.random.key(1), (1, 32, 32, 32, 2), jnp.float32)
+
+        f32 = SwinUNETR(dtype=jnp.float32, **kwargs)
+        variables = f32.init(jax.random.key(0), x, train=False)
+        ref = np.asarray(f32.apply(variables, x, train=False))
+
+        bf16 = SwinUNETR(dtype=jnp.bfloat16, **kwargs)
+        got = np.asarray(bf16.apply(variables, x, train=False))
+
+        # logits track within bf16 noise; argmax agrees almost everywhere
+        denom = np.maximum(np.abs(ref), 1.0)
+        assert np.max(np.abs(got - ref) / denom) < 0.15
+        agree = np.mean(np.argmax(got, -1) == np.argmax(ref, -1))
+        assert agree > 0.98, f"argmax agreement {agree}"
