@@ -102,6 +102,9 @@ def run_eval(config, logger) -> None:
     ckpt = config["_args"].get("checkpoint")
     if ckpt is None:
         raise ValueError("--checkpoint is required for evaluation mode")
+    # the checkpoint is self-sufficient; a model.pretrained left over from
+    # the training YAML must not be required (or even read) here
+    config.set("model.pretrained", None)
 
     logger.info(f"Evaluating checkpoint: {ckpt}")
     test_loader = get_dataloader(config, split="test")

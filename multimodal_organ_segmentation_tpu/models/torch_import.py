@@ -292,13 +292,14 @@ def import_torch_checkpoint(path, config) -> Dict[str, Any]:
     from (its registry never built one, build.py:16-21).
     """
     sd = _load_state_dict(path)
-    name = str(config.get("model.name", "unet3d")).lower()
+    name = str(config.get("model.name", "swin_unetr")).lower()  # build.py default
     backbone = config.get("model.backbone", {}) or {}
     if hasattr(backbone, "to_dict"):
         backbone = backbone.to_dict()
 
     if name in ("unet", "unet3d"):
-        feats = list(backbone.get("features", [32, 64, 128, 256]))
+        # default mirrors build_unet3d / reference unet.py:127
+        feats = list(backbone.get("features", [32, 64, 128, 256, 512]))
         params = from_torch_unet3d(sd, num_levels=len(feats))
     elif name == "swin_unetr":
         if not bool(backbone.get("monai_compat", False)):
@@ -318,6 +319,12 @@ def import_torch_checkpoint(path, config) -> Dict[str, Any]:
         ).lower()
         if ftype in ("early", "late"):
             ftype = "concat"
+        if ftype not in ("concat", "add", "attention"):
+            raise ValueError(
+                f"the reference DualEncoder only ever wires concat/add/"
+                f"attention fusion (dual_encoder.py:63-79) — there is no "
+                f"reference checkpoint to import for fusion type {ftype!r}"
+            )
         feats = list(backbone.get("features", [32, 64, 128, 256, 512]))
         params = from_torch_dual_encoder(
             sd,

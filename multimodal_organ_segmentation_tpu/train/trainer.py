@@ -212,8 +212,11 @@ class Trainer:
             for k, v in variables.items()
             if k not in ("intermediates", "perturbations")
         }
+        # a pending --resume restore supersedes the torch import (the
+        # checkpoint carries the full trained state; the .pth may not even
+        # exist on the resuming machine)
         pretrained = self.config.get("model.pretrained", None)
-        if pretrained:
+        if pretrained and not self._resume_from:
             params = self._import_pretrained(str(pretrained), params)
         opt_state = self.tx.init(params)
         state = TrainState(

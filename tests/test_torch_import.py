@@ -185,3 +185,34 @@ class TestPretrainedConfigPath:
         trainer = Trainer(config)
         with pytest.raises(ValueError, match="does not match"):
             trainer.init_state(np.zeros((16, 16, 16, 2), np.float32))
+
+    def test_unmappable_fusion_rejected_up_front(self, tmp_path):
+        from multimodal_organ_segmentation_tpu.models.torch_import import (
+            import_torch_checkpoint,
+        )
+        from multimodal_organ_segmentation_tpu.utils.config import load_config
+
+        torch.manual_seed(9)
+        ref = RefDualEncoder(
+            in_channels_per_modality=1, num_modalities=2, out_channels=2,
+            features=[4, 8], fusion_type="concat",
+        )
+        torch.save({"model_state_dict": ref.state_dict()}, tmp_path / "ref.pth")
+        config = load_config("configs/tiny_cpu.yaml")
+        config.set("model.name", "dual_encoder")
+        config.set("model.fusion.type", "cross_attention")
+        with pytest.raises(ValueError, match="no reference checkpoint"):
+            import_torch_checkpoint(tmp_path / "ref.pth", config)
+
+    def test_swin_default_requires_monai_compat_clearly(self, tmp_path):
+        """A config without model.name dispatches to the build default
+        (swin_unetr) and produces a descriptive error, not a KeyError."""
+        from multimodal_organ_segmentation_tpu.models.torch_import import (
+            import_torch_checkpoint,
+        )
+        from multimodal_organ_segmentation_tpu.utils.config import load_config
+
+        torch.save({"model_state_dict": {}}, tmp_path / "ref.pth")
+        config = load_config("configs/swin_unetr_ct_96.yaml")
+        with pytest.raises(ValueError, match="monai_compat"):
+            import_torch_checkpoint(tmp_path / "ref.pth", config)
