@@ -8,6 +8,24 @@ then a final normalize. Everything is static-shaped so XLA pipelines the
 whole volume without host round-trips — this is the benchmark path
 (BASELINE.md north star).
 
+Three entry points:
+
+- ``sliding_window_inference`` — single-device, tile grid baked in as
+  constants (one compile per volume shape).
+- ``sharded_sliding_window_inference`` — mesh-parallel serving: the tile
+  chunks are sharded over a mesh axis with ``shard_map``; each device
+  accumulates its tiles into a full-volume accumulator and a final
+  ``psum`` merges them (blending is an associative weighted sum, so the
+  merged result is exactly the single-device program's). The reference
+  can only serve on one GPU (src/trainer/trainer.py:370-395).
+- ``SlidingWindowRunner`` — serving front-end with volume-shape
+  bucketing: the tile start offsets are *runtime data*, so every volume
+  whose per-axis tile counts match reuses one compiled program. A
+  clinical cohort triggers O(buckets) compiles instead of O(shapes),
+  with bit-identical logits to the unbucketed program (tile placement is
+  computed from the ORIGINAL shape; padded voxels are covered by no tile
+  and sliced away).
+
 Tiling contract (MONAI-compatible):
   interval_i = int(roi_i * (1 - overlap))   (roi_i if interval would be 0)
   n_i        = ceil((dim_i - roi_i) / interval_i) + 1
@@ -21,12 +39,17 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+try:  # jax ≥ 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def _scan_starts(dim: int, roi: int, overlap: float) -> list:
@@ -56,6 +79,102 @@ def gaussian_importance_map(
     # avoid exact zeros so normalization is safe everywhere
     w = np.maximum(w, w.max() * 1e-3)
     return w.astype(dtype)
+
+
+def make_tile_grid(
+    shape: Tuple[int, int, int],
+    roi_size: Tuple[int, int, int],
+    overlap: float,
+    sw_batch_size: int,
+    min_chunks: int = 0,
+    chunk_multiple: int = 1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side tile grid: ``(starts [n_chunks, sw, 3], valid [n_chunks, sw])``.
+
+    Padded slots (to fill the last chunk, reach ``min_chunks``, or round the
+    chunk count up to ``chunk_multiple``) repeat the last tile with
+    ``valid=0`` so they contribute nothing to the blend.
+    """
+    starts = [
+        (sh, sw_, sd)
+        for sh in _scan_starts(shape[0], roi_size[0], overlap)
+        for sw_ in _scan_starts(shape[1], roi_size[1], overlap)
+        for sd in _scan_starts(shape[2], roi_size[2], overlap)
+    ]
+    n_tiles = len(starts)
+    n_chunks = max(int(math.ceil(n_tiles / sw_batch_size)), min_chunks, 1)
+    n_chunks = int(math.ceil(n_chunks / chunk_multiple)) * chunk_multiple
+    n_padded = n_chunks * sw_batch_size
+    valid = np.zeros((n_padded,), dtype=np.float32)
+    valid[:n_tiles] = 1.0
+    while len(starts) < n_padded:
+        starts.append(starts[-1])
+    starts_arr = np.asarray(starts, dtype=np.int32).reshape(
+        n_chunks, sw_batch_size, 3
+    )
+    return starts_arr, valid.reshape(n_chunks, sw_batch_size)
+
+
+def _blend_weight(roi_size, mode: str) -> np.ndarray:
+    if mode == "gaussian":
+        w = gaussian_importance_map(roi_size)
+    else:
+        w = np.ones(roi_size, dtype=np.float32)
+    return w[..., None]  # [rh, rw, rd, 1]
+
+
+def _sw_accumulate(
+    vol: jax.Array,
+    starts_arr: jax.Array,
+    valid_arr: jax.Array,
+    run_predict: Callable,
+    roi_size: Tuple[int, int, int],
+    num_classes: int,
+    weight4: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Scan tile chunks over ``vol`` [H, W, D, C] → (acc, wacc) blends."""
+    H, W, D, c = vol.shape
+    rh, rw, rd = roi_size
+    sw_batch_size = starts_arr.shape[1]
+
+    # derive the accumulator init from starts_arr so it carries the same
+    # manual-axis variance under shard_map (starts are the per-device
+    # varying input; a plain zeros init would be device-invariant and the
+    # scan carry types would mismatch — same trick as ring_attention)
+    vzero = jnp.sum(starts_arr).astype(jnp.float32) * 0.0
+    acc = jnp.zeros((H, W, D, num_classes), dtype=jnp.float32) + vzero
+    wacc = jnp.zeros((H, W, D, 1), dtype=jnp.float32) + vzero
+
+    def extract(start):
+        return jax.lax.dynamic_slice(
+            vol, (start[0], start[1], start[2], 0), (rh, rw, rd, c)
+        )
+
+    def chunk_body(carry, chunk):
+        acc, wacc = carry
+        chunk_starts, chunk_valid = chunk
+        patches = jax.vmap(extract)(chunk_starts)  # [sw, rh, rw, rd, c]
+        logits = run_predict(patches).astype(jnp.float32)  # [sw, rh, rw, rd, K]
+        weighted = logits * weight4[None]
+
+        def add_one(i, carry):
+            acc, wacc = carry
+            s = chunk_starts[i]
+            v = chunk_valid[i]  # 0 for padded duplicate tiles
+            idx = (s[0], s[1], s[2], 0)
+            cur = jax.lax.dynamic_slice(acc, idx, (rh, rw, rd, num_classes))
+            acc = jax.lax.dynamic_update_slice(acc, cur + weighted[i] * v, idx)
+            curw = jax.lax.dynamic_slice(wacc, idx, (rh, rw, rd, 1))
+            wacc = jax.lax.dynamic_update_slice(wacc, curw + weight4 * v, idx)
+            return acc, wacc
+
+        acc, wacc = jax.lax.fori_loop(0, sw_batch_size, add_one, (acc, wacc))
+        return (acc, wacc), None
+
+    (acc, wacc), _ = jax.lax.scan(
+        chunk_body, (acc, wacc), (starts_arr, valid_arr)
+    )
+    return acc, wacc
 
 
 @partial(
@@ -120,63 +239,215 @@ def sliding_window_inference(
     vol = jnp.pad(volume, ((0, ph), (0, pw), (0, pd), (0, 0)))
     H, W, D = h + ph, w + pw, d + pd
 
-    starts = [
-        (sh, sw_, sd)
-        for sh in _scan_starts(H, rh, overlap)
-        for sw_ in _scan_starts(W, rw, overlap)
-        for sd in _scan_starts(D, rd, overlap)
-    ]
-    n_tiles = len(starts)
-    n_chunks = int(math.ceil(n_tiles / sw_batch_size))
-    # pad tile list to a whole number of chunks; padded slots are masked to
-    # zero contribution (repeating a tile unmasked would double its
-    # Gaussian weight and change blended logits vs MONAI)
-    n_padded = n_chunks * sw_batch_size
-    valid = np.zeros((n_padded,), dtype=np.float32)
-    valid[:n_tiles] = 1.0
-    while len(starts) < n_padded:
-        starts.append(starts[-1])
-    starts_arr = jnp.asarray(np.asarray(starts, dtype=np.int32)).reshape(
-        n_chunks, sw_batch_size, 3
+    starts_np, valid_np = make_tile_grid((H, W, D), roi_size, overlap, sw_batch_size)
+    starts_arr = jnp.asarray(starts_np)
+    valid_arr = jnp.asarray(valid_np)
+    weight4 = jnp.asarray(_blend_weight(roi_size, mode))
+
+    acc, wacc = _sw_accumulate(
+        vol, starts_arr, valid_arr, run_predict, roi_size, num_classes, weight4
     )
-    valid_arr = jnp.asarray(valid).reshape(n_chunks, sw_batch_size)
-
-    if mode == "gaussian":
-        weight = jnp.asarray(gaussian_importance_map(roi_size))
-    else:
-        weight = jnp.ones(roi_size, dtype=jnp.float32)
-    weight4 = weight[..., None]  # [rh, rw, rd, 1]
-
-    acc = jnp.zeros((H, W, D, num_classes), dtype=jnp.float32)
-    wacc = jnp.zeros((H, W, D, 1), dtype=jnp.float32)
-
-    def extract(start):
-        return jax.lax.dynamic_slice(
-            vol, (start[0], start[1], start[2], 0), (rh, rw, rd, c)
-        )
-
-    def chunk_body(carry, chunk):
-        acc, wacc = carry
-        chunk_starts, chunk_valid = chunk
-        patches = jax.vmap(extract)(chunk_starts)  # [sw, rh, rw, rd, c]
-        logits = run_predict(patches).astype(jnp.float32)  # [sw, rh, rw, rd, K]
-        weighted = logits * weight4[None]
-
-        def add_one(i, carry):
-            acc, wacc = carry
-            s = chunk_starts[i]
-            v = chunk_valid[i]  # 0 for padded duplicate tiles
-            idx = (s[0], s[1], s[2], 0)
-            cur = jax.lax.dynamic_slice(acc, idx, (rh, rw, rd, num_classes))
-            acc = jax.lax.dynamic_update_slice(acc, cur + weighted[i] * v, idx)
-            curw = jax.lax.dynamic_slice(wacc, idx, (rh, rw, rd, 1))
-            wacc = jax.lax.dynamic_update_slice(wacc, curw + weight4 * v, idx)
-            return acc, wacc
-
-        acc, wacc = jax.lax.fori_loop(0, sw_batch_size, add_one, (acc, wacc))
-        return (acc, wacc), None
-
-    (acc, wacc), _ = jax.lax.scan(chunk_body, (acc, wacc), (starts_arr, valid_arr))
-
     out = acc / wacc
     return out[:h, :w, :d, :]
+
+
+def sharded_sliding_window_inference(
+    volume: jax.Array,
+    predict_fn: Callable[..., jax.Array],
+    roi_size: Tuple[int, int, int],
+    num_classes: int,
+    mesh,
+    axis_name: str = "data",
+    overlap: float = 0.5,
+    sw_batch_size: int = 4,
+    mode: str = "gaussian",
+    params=None,
+) -> jax.Array:
+    """Mesh-parallel sliding window: tile chunks sharded over ``axis_name``.
+
+    Each device runs the same scan body over its own slice of the chunk
+    list, accumulating into a private full-volume (acc, wacc) pair; a final
+    ``psum`` over the mesh axis merges them. Because Gaussian blending is an
+    associative weighted sum, the merged logits equal the single-device
+    program's exactly (up to f32 summation order). The reference's serving
+    path is single-GPU only (src/trainer/trainer.py:370-395); on an N-chip
+    mesh this runs the model forwards N-wide.
+
+    Same contract as :func:`sliding_window_inference` for a single volume
+    ``[H, W, D, C]``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    h, w, d, c = volume.shape
+    rh, rw, rd = roi_size
+    ph, pw, pd = max(rh - h, 0), max(rw - w, 0), max(rd - d, 0)
+    vol = jnp.pad(volume, ((0, ph), (0, pw), (0, pd), (0, 0)))
+    H, W, D = h + ph, w + pw, d + pd
+
+    n_dev = mesh.shape[axis_name]
+    starts_np, valid_np = make_tile_grid(
+        (H, W, D), roi_size, overlap, sw_batch_size, chunk_multiple=n_dev
+    )
+    starts_arr = jnp.asarray(starts_np)
+    valid_arr = jnp.asarray(valid_np)
+    weight4 = jnp.asarray(_blend_weight(roi_size, mode))
+
+    run_predict = (
+        (lambda prm, p: predict_fn(p)) if params is None else predict_fn
+    )
+    prm = params if params is not None else {}
+
+    def local_run(vol, starts, valid, prm):
+        acc, wacc = _sw_accumulate(
+            vol, starts, valid, lambda p: run_predict(prm, p),
+            roi_size, num_classes, weight4,
+        )
+        acc = jax.lax.psum(acc, axis_name)
+        wacc = jax.lax.psum(wacc, axis_name)
+        return acc / wacc
+
+    fn = shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P()),
+        out_specs=P(),
+    )
+    out = fn(vol, starts_arr, valid_arr, prm)
+    return out[:h, :w, :d, :]
+
+
+def bucket_shape(
+    shape: Tuple[int, int, int],
+    roi_size: Tuple[int, int, int],
+    overlap: float,
+) -> Tuple[int, int, int]:
+    """Smallest canonical shape with the same per-axis tile count as
+    ``shape``: roi + interval·ceil((dim − roi)/interval). Every shape in a
+    bucket shares tile counts, so bucketed programs waste zero tile slots."""
+    out = []
+    for dim, roi in zip(shape, roi_size):
+        if dim <= roi:
+            out.append(roi)
+            continue
+        interval = int(roi * (1.0 - overlap)) or roi
+        out.append(roi + interval * int(math.ceil((dim - roi) / interval)))
+    return tuple(out)
+
+
+class SlidingWindowRunner:
+    """Serving front-end: shape-bucketed, optionally mesh-parallel.
+
+    Compiles one XLA program per (bucket shape, channel count) and reuses
+    it for every volume in the bucket — the tile start offsets are runtime
+    arguments computed from each volume's ORIGINAL shape, so logits are
+    identical to the unbucketed program on the original region (padded
+    voxels are covered by no tile and sliced away before returning).
+
+    Without bucketing, `sliding_window_inference` recompiles per volume
+    shape (BENCH_CONFIGS.json records 478–557 s single compiles through
+    the axon relay); a clinical cohort of varying shapes would pay that
+    per case.
+    """
+
+    def __init__(
+        self,
+        predict_fn: Callable,
+        roi_size: Tuple[int, int, int],
+        num_classes: int,
+        overlap: float = 0.5,
+        sw_batch_size: int = 4,
+        mode: str = "gaussian",
+        mesh=None,
+        axis_name: str = "data",
+    ):
+        self.predict_fn = predict_fn
+        self.roi_size = tuple(roi_size)
+        self.num_classes = int(num_classes)
+        self.overlap = float(overlap)
+        self.sw_batch_size = int(sw_batch_size)
+        self.mode = str(mode)
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self._cache: Dict[Tuple, Callable] = {}
+
+    def _chunk_multiple(self) -> int:
+        if self.mesh is not None:
+            return int(self.mesh.shape[self.axis_name])
+        return 1
+
+    def _build(self, bucket: Tuple[int, int, int], c: int, n_chunks: int):
+        roi = self.roi_size
+        weight4 = jnp.asarray(_blend_weight(roi, self.mode))
+        predict_fn = self.predict_fn
+        num_classes = self.num_classes
+
+        if self.mesh is None:
+
+            def run(prm, vol, starts, valid):
+                acc, wacc = _sw_accumulate(
+                    vol, starts, valid, lambda p: predict_fn(prm, p),
+                    roi, num_classes, weight4,
+                )
+                return jnp.where(wacc > 0, acc / jnp.where(wacc > 0, wacc, 1.0), 0.0)
+
+            return jax.jit(run)
+
+        from jax.sharding import PartitionSpec as P
+
+        axis_name = self.axis_name
+
+        def local_run(prm, vol, starts, valid):
+            acc, wacc = _sw_accumulate(
+                vol, starts, valid, lambda p: predict_fn(prm, p),
+                roi, num_classes, weight4,
+            )
+            acc = jax.lax.psum(acc, axis_name)
+            wacc = jax.lax.psum(wacc, axis_name)
+            return jnp.where(wacc > 0, acc / jnp.where(wacc > 0, wacc, 1.0), 0.0)
+
+        fn = shard_map(
+            local_run,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(axis_name), P(axis_name)),
+            out_specs=P(),
+        )
+        return jax.jit(fn)
+
+    def __call__(self, volume, params) -> jax.Array:
+        """``[H, W, D, C]`` volume → ``[H, W, D, num_classes]`` logits."""
+        h, w, d, c = volume.shape
+        bucket = bucket_shape((h, w, d), self.roi_size, self.overlap)
+        H, W, D = bucket
+        # tile grid from the ORIGINAL shape (bit-parity with the unbucketed
+        # program); chunk count from the bucket shape (shared compile key)
+        b_starts, _ = make_tile_grid(bucket, self.roi_size, self.overlap, self.sw_batch_size)
+        n_chunks = int(
+            math.ceil(b_starts.shape[0] / self._chunk_multiple())
+        ) * self._chunk_multiple()
+        starts_np, valid_np = make_tile_grid(
+            (max(h, self.roi_size[0]), max(w, self.roi_size[1]), max(d, self.roi_size[2])),
+            self.roi_size,
+            self.overlap,
+            self.sw_batch_size,
+            min_chunks=n_chunks,
+            chunk_multiple=self._chunk_multiple(),
+        )
+        assert starts_np.shape[0] == n_chunks, (
+            f"bucket {bucket} chunk count {n_chunks} < volume's "
+            f"{starts_np.shape[0]} — bucket_shape must dominate tile counts"
+        )
+
+        key = (bucket, c, n_chunks)
+        if key not in self._cache:
+            self._cache[key] = self._build(bucket, c, n_chunks)
+        fn = self._cache[key]
+
+        vol = jnp.pad(
+            jnp.asarray(volume), ((0, H - h), (0, W - w), (0, D - d), (0, 0))
+        )
+        out = fn(params, vol, jnp.asarray(starts_np), jnp.asarray(valid_np))
+        return out[:h, :w, :d, :]
+
+    @property
+    def num_compiled(self) -> int:
+        return len(self._cache)

@@ -122,18 +122,40 @@ def make_train_step(
 
 
 def make_eval_step(model, loss_fn: Callable, num_classes: int) -> Callable:
-    """Jitted eval: loss + argmax preds + per-class ∩/∪ on device."""
+    """Jitted eval: loss + argmax preds + per-class ∩/∪ on device.
 
-    def eval_step(params, extra, images, labels):
+    ``weights`` (optional ``[B]`` 0/1 per-sample mask) supports sharded
+    validation: the batch is zero-padded to a multiple of the mesh data
+    axis and padded samples carry weight 0, so loss and the Dice
+    accumulators count only real samples. With the batch dim sharded over
+    ``data`` and params replicated, GSPMD inserts the psum into the
+    cross-batch reductions — the returned scalars are fully reduced
+    (SURVEY.md §7 step 8; the reference validates on one GPU only,
+    src/trainer/trainer.py:265-296).
+    """
+
+    def eval_step(params, extra, images, labels, weights=None):
         variables = {"params": params, **extra}
         logits = model.apply(variables, images, train=False)
-        loss = loss_fn(logits, labels)
+        if weights is None:
+            loss = loss_fn(logits, labels)
+        else:
+            per = jax.vmap(lambda lg, lb: loss_fn(lg[None], lb[None]))(
+                logits, labels
+            )
+            loss = jnp.sum(per * weights) / jnp.maximum(jnp.sum(weights), 1.0)
         preds = jnp.argmax(logits, axis=-1)
         pred_oh = jax.nn.one_hot(preds, num_classes, dtype=jnp.float32)
         tgt_oh = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
-        axes = tuple(range(pred_oh.ndim - 1))
-        inter = jnp.sum(pred_oh * tgt_oh, axis=axes)
-        union = jnp.sum(pred_oh, axis=axes) + jnp.sum(tgt_oh, axis=axes)
+        axes = tuple(range(1, pred_oh.ndim - 1))
+        inter_b = jnp.sum(pred_oh * tgt_oh, axis=axes)  # [B, C]
+        pred_b = jnp.sum(pred_oh, axis=axes)
+        tgt_b = jnp.sum(tgt_oh, axis=axes)
+        if weights is not None:
+            wcol = weights[:, None]
+            inter_b, pred_b, tgt_b = inter_b * wcol, pred_b * wcol, tgt_b * wcol
+        inter = jnp.sum(inter_b, axis=0)
+        union = jnp.sum(pred_b, axis=0) + jnp.sum(tgt_b, axis=0)
         return loss, preds, inter, union
 
     return jax.jit(eval_step)
@@ -172,9 +194,14 @@ class Trainer:
         self.output_dir = ensure_dir(out_dir)
         self.ckpt = CheckpointPolicy(self.output_dir, config)
 
-        self.mesh = mesh if mesh is not None else (
-            make_mesh(config) if len(jax.devices()) > 1 else None
-        )
+        # mesh=None → auto (build one when >1 devices); mesh=False → force
+        # single-device (no mesh)
+        if mesh is False:
+            self.mesh = None
+        else:
+            self.mesh = mesh if mesh is not None else (
+                make_mesh(config) if len(jax.devices()) > 1 else None
+            )
 
         seed = int(config.get("experiment.seed", 42))
         self.keys = KeyStream(seed)
@@ -196,6 +223,7 @@ class Trainer:
             v, patches, train=False
         )
         self._resume_from = resume_from
+        self._warned_replicate = False
 
     # -- state ------------------------------------------------------------
 
@@ -286,6 +314,20 @@ class Trainer:
 
             data_size = self.mesh.shape["data"]
             divisible = images.shape[1] % data_size == 0
+            if not divisible and not self._warned_replicate:
+                self._warned_replicate = True
+                msg = (
+                    f"microbatch {images.shape[1]} does not divide the mesh "
+                    f"data axis ({data_size}): replicating the batch — data "
+                    f"parallelism is OFF for this run. Pick a batch size "
+                    f"divisible by {data_size}."
+                )
+                if self.logger:
+                    self.logger.warning(msg)
+                else:
+                    import warnings
+
+                    warnings.warn(msg)
 
             # [accum, micro, ...]: shard the microbatch dim over `data`
             # (replicate when the microbatch doesn't divide the axis)
@@ -400,15 +442,43 @@ class Trainer:
 
         from multimodal_organ_segmentation_tpu.data.dataloader import device_prefetch
 
+        data_size = self.mesh.shape["data"] if self.mesh is not None else 1
         total, count = 0.0, 0
         inter = np.zeros(self.num_classes)
         union = np.zeros(self.num_classes)
         for batch in device_prefetch(iter(self.val_loader)):
-            images = jnp.asarray(batch["image"])
-            labels = jnp.asarray(batch["label"]).astype(jnp.int32)
-            loss, preds, i, u = self._eval_step(
-                self.state.params, self.state.extra, images, labels
-            )
+            images = np.asarray(batch["image"])
+            labels = np.asarray(batch["label"]).astype(np.int32)
+            if data_size > 1:
+                # sharded validation: zero-pad the batch to the data axis,
+                # mask padded samples, shard the batch dim — GSPMD psums
+                # the loss/∩/∪ reductions across devices
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                b = images.shape[0]
+                bp = int(math.ceil(b / data_size)) * data_size
+                weights = np.zeros((bp,), np.float32)
+                weights[:b] = 1.0
+                if bp != b:
+                    pad = [(0, bp - b)] + [(0, 0)] * (images.ndim - 1)
+                    images = np.pad(images, pad)
+                    labels = np.pad(labels, pad[: labels.ndim])
+                bspec = lambda nd: NamedSharding(
+                    self.mesh, P(*(["data"] + [None] * (nd - 1)))
+                )
+                images = jax.device_put(images, bspec(images.ndim))
+                labels = jax.device_put(labels, bspec(labels.ndim))
+                wts = jax.device_put(weights, bspec(1))
+                loss, preds, i, u = self._eval_step(
+                    self.state.params, self.state.extra, images, labels, wts
+                )
+            else:
+                loss, preds, i, u = self._eval_step(
+                    self.state.params,
+                    self.state.extra,
+                    jnp.asarray(images),
+                    jnp.asarray(labels),
+                )
             total += float(loss)
             count += 1
             inter += np.asarray(i, dtype=np.float64)
@@ -425,6 +495,87 @@ class Trainer:
     def evaluate(self) -> Dict[str, Any]:
         loss, metrics = self._validate()
         metrics["loss"] = loss
+        return metrics
+
+    def evaluate_native(self, loader=None) -> Dict[str, Any]:
+        """Native-grid evaluation: sliding-window inference on the ORIGINAL
+        volume grids, streaming per-class Dice + 95th-percentile Hausdorff.
+
+        The reference (and our default ``evaluate``) can only score on the
+        resized-96³ grid because Resize sits in its test transform pipeline
+        (SURVEY.md §3.2); this path evaluates where clinical metrics are
+        actually defined. Enable from the CLI with
+        ``evaluation.sliding_window: true``. Volumes are served through the
+        shape-bucketed (and, on a mesh, data-parallel) sliding-window
+        runner.
+        """
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            SlidingWindowRunner,
+        )
+        from multimodal_organ_segmentation_tpu.train.metrics import (
+            DiceMetric,
+            HausdorffDistance,
+        )
+
+        loader = loader if loader is not None else self.val_loader
+        assert loader is not None, "evaluate_native requires a loader"
+        if self.state is None:
+            first = next(iter(loader))
+            self.init_state(np.asarray(first["image"][0]))
+
+        sw_cfg = self.config.get("inference.sliding_window", {}) or {}
+        roi = tuple(sw_cfg.get("roi_size", [96, 96, 96]))
+        overlap = float(sw_cfg.get("overlap", 0.5))
+        mode = str(sw_cfg.get("mode", "gaussian"))
+        sw_batch = int(self.config.get("inference.batch_size", 4))
+        dp_mesh = None
+        if (
+            bool(self.config.get("inference.data_parallel", True))
+            and self.mesh is not None
+            and self.mesh.shape["data"] > 1
+        ):
+            dp_mesh = self.mesh
+        runner = SlidingWindowRunner(
+            self._predict_fn,
+            roi_size=roi,
+            num_classes=self.num_classes,
+            overlap=overlap,
+            sw_batch_size=sw_batch,
+            mode=mode,
+            mesh=dp_mesh,
+        )
+
+        variables = {"params": self.state.params, **self.state.extra}
+        dice = DiceMetric(self.num_classes)
+        hd = HausdorffDistance(
+            percentile=float(self.config.get("evaluation.hd_percentile", 95))
+        )
+        n_cases = 0
+        for batch in loader:
+            images = np.asarray(batch["image"])
+            labels = np.asarray(batch["label"]).astype(np.int32)
+            for b in range(images.shape[0]):
+                logits = runner(jnp.asarray(images[b]), variables)
+                pred = np.asarray(jnp.argmax(logits, axis=-1))
+                spacing = None
+                affines = batch.get("affine")
+                if affines is not None and affines[b] is not None:
+                    A = np.asarray(affines[b], dtype=np.float64)
+                    if A.shape == (4, 4):
+                        # voxel size = column norms of the direction matrix
+                        spacing = tuple(
+                            np.sqrt((A[:3, :3] ** 2).sum(axis=0)).tolist()
+                        )
+                dice.update(pred[None], labels[b][None])
+                hd.update(pred[None], labels[b][None], spacing=spacing)
+                n_cases += 1
+
+        metrics: Dict[str, Any] = dice.compute()
+        hd_m = hd.compute()
+        metrics["hd95"] = hd_m.get("hausdorff_distance")
+        if "hausdorff_distance_std" in hd_m:
+            metrics["hd95_std"] = hd_m["hausdorff_distance_std"]
+        metrics["num_cases"] = n_cases
         return metrics
 
     # -- inference ----------------------------------------------------------
@@ -466,6 +617,35 @@ class Trainer:
         variables = {"params": self.state.params, **self.state.extra}
         predict_fn = self._predict_fn
 
+        # serving engine: shape-bucketed (one compile per tile-count bucket
+        # instead of per volume shape) and, with a >1-device data axis,
+        # mesh-parallel (tile chunks sharded over `data`). Both default on;
+        # `inference.shape_bucketing: false` falls back to the per-shape
+        # static-grid program.
+        use_bucket = bool(self.config.get("inference.shape_bucketing", True))
+        dp_mesh = None
+        if (
+            bool(self.config.get("inference.data_parallel", True))
+            and self.mesh is not None
+            and self.mesh.shape["data"] > 1
+        ):
+            dp_mesh = self.mesh
+        runner = None
+        if use_bucket:
+            from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+                SlidingWindowRunner,
+            )
+
+            runner = SlidingWindowRunner(
+                predict_fn,
+                roi_size=roi,
+                num_classes=self.num_classes,
+                overlap=overlap,
+                sw_batch_size=sw_batch,
+                mode=mode,
+                mesh=dp_mesh,
+            )
+
         written = []
         for case, mods in cases.items():
             channels, affine = [], None
@@ -487,17 +667,37 @@ class Trainer:
                     image, list(self.config.get("data.modalities")), pc
                 )
 
-            def run_sw(vol):
-                return sliding_window_inference(
+            if runner is not None:
+                run_sw = lambda vol: runner(vol, variables)
+            elif dp_mesh is not None:
+                from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+                    sharded_sliding_window_inference,
+                )
+
+                run_sw = lambda vol: sharded_sliding_window_inference(
                     vol,
                     predict_fn,
                     roi_size=roi,
                     num_classes=self.num_classes,
+                    mesh=dp_mesh,
                     overlap=overlap,
                     sw_batch_size=sw_batch,
                     mode=mode,
                     params=variables,
                 )
+            else:
+
+                def run_sw(vol):
+                    return sliding_window_inference(
+                        vol,
+                        predict_fn,
+                        roi_size=roi,
+                        num_classes=self.num_classes,
+                        overlap=overlap,
+                        sw_batch_size=sw_batch,
+                        mode=mode,
+                        params=variables,
+                    )
 
             logits = run_sw(image)
             if tta:

@@ -173,6 +173,64 @@ class TestSlidingWindow:
         np.testing.assert_allclose(np.asarray(out), np.asarray(vol) * 2.0, atol=1e-5)
 
 
+class TestSlidingWindowRunner:
+    """Shape bucketing: O(buckets) compiles, bit-parity with the static path."""
+
+    def _predict(self):
+        rng = np.random.default_rng(11)
+        w = jnp.asarray(rng.normal(size=(1, 3)).astype(np.float32))
+        return {"w": w}, lambda prm, p: jnp.tanh(
+            jnp.einsum("nhwdc,ck->nhwdk", p, prm["w"])
+        )
+
+    def test_bucket_shape(self):
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import bucket_shape
+
+        # roi 16, overlap .5 -> interval 8; dims (roi, roi+8k] share a bucket
+        assert bucket_shape((10, 16, 17), (16, 16, 16), 0.5) == (16, 16, 24)
+        assert bucket_shape((24, 25, 32), (16, 16, 16), 0.5) == (24, 32, 32)
+
+    def test_same_bucket_one_compile_identical_logits(self):
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            SlidingWindowRunner,
+        )
+
+        prm, predict = self._predict()
+        runner = SlidingWindowRunner(
+            predict, roi_size=(16, 16, 16), num_classes=3, overlap=0.5,
+            sw_batch_size=3,
+        )
+        rng = np.random.default_rng(12)
+        # 18 and 23 both bucket to 24 on every axis (tile counts match)
+        for shape in ((18, 23, 20), (23, 18, 24)):
+            vol = jnp.asarray(rng.normal(size=(*shape, 1)).astype(np.float32))
+            out = runner(vol, prm)
+            assert out.shape == (*shape, 3)
+            ref = sliding_window_inference(
+                vol, lambda p: predict(prm, p), roi_size=(16, 16, 16),
+                num_classes=3, overlap=0.5, sw_batch_size=3,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=1e-5,
+                err_msg=f"shape={shape}",
+            )
+        assert runner.num_compiled == 1  # both shapes share one program
+
+    def test_different_bucket_new_program(self):
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            SlidingWindowRunner,
+        )
+
+        prm, predict = self._predict()
+        runner = SlidingWindowRunner(
+            predict, roi_size=(16, 16, 16), num_classes=3, sw_batch_size=4
+        )
+        rng = np.random.default_rng(13)
+        runner(jnp.asarray(rng.normal(size=(20, 20, 20, 1)).astype(np.float32)), prm)
+        runner(jnp.asarray(rng.normal(size=(40, 20, 20, 1)).astype(np.float32)), prm)
+        assert runner.num_compiled == 2
+
+
 class TestSlidingWindowBatchInvariance:
     def test_output_independent_of_sw_batch(self):
         """Blended logits must be identical for any sw_batch_size, even when
