@@ -30,7 +30,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     )
     parser.add_argument(
         "--mode", required=True,
-        choices=["train", "eval", "inference", "preprocess", "analysis", "explain"],
+        choices=[
+            "train", "eval", "inference", "preprocess", "analysis", "explain",
+            "export",
+        ],
     )
     parser.add_argument("--config", default=_DEFAULT_CONFIG)
     parser.add_argument("--exp-name", dest="exp_name", default=None)
@@ -106,16 +109,53 @@ def run_eval(config, logger) -> None:
     # the training YAML must not be required (or even read) here
     config.set("model.pretrained", None)
 
-    logger.info(f"Evaluating checkpoint: {ckpt}")
-    test_loader = get_dataloader(config, split="test")
-    trainer = Trainer(config, val_loader=test_loader, logger=logger)
-    first = next(iter(test_loader))
     import numpy as np
 
-    trainer.init_state(np.asarray(first["image"][0]))
-    trainer.load_params(ckpt)
-    metrics = trainer.evaluate()
+    logger.info(f"Evaluating checkpoint: {ckpt}")
+    native = bool(config.get("evaluation.sliding_window", False))
+    if native:
+        # native-grid evaluation: sliding-window on ORIGINAL grids with
+        # per-class Dice + HD95 (the reference can only score the
+        # resized-96³ quirk grid, src/trainer/trainer.py:265-301)
+        from multimodal_organ_segmentation_tpu.data.dataloader import DataLoader
+        from multimodal_organ_segmentation_tpu.data.dataset import get_dataset
+        from multimodal_organ_segmentation_tpu.data.transforms import get_transforms
+
+        dataset = get_dataset(
+            config, split="test", transform=get_transforms(config, mode="native")
+        )
+        loader = DataLoader(
+            dataset,
+            batch_size=1,  # native grids vary per case; never pad-collate them
+            shuffle=False,
+            num_workers=int(config.get("hardware.num_workers", 4)),
+        )
+        trainer = Trainer(config, logger=logger)
+        roi = tuple(config.get("inference.sliding_window.roi_size", [96, 96, 96]))
+        n_mod = len(config.get("data.modalities", ["CT", "PET"]))
+        trainer.init_state(np.zeros((*roi, n_mod), np.float32))
+        trainer.load_params(ckpt)
+        metrics = trainer.evaluate_native(loader)
+    else:
+        test_loader = get_dataloader(config, split="test")
+        trainer = Trainer(config, val_loader=test_loader, logger=logger)
+        first = next(iter(test_loader))
+        trainer.init_state(np.asarray(first["image"][0]))
+        trainer.load_params(ckpt)
+        metrics = trainer.evaluate()
     logger.info(f"Results: {metrics}")
+
+    from multimodal_organ_segmentation_tpu.utils.io import save_json
+
+    out = config["_args"].get("output")
+    metrics_path = (
+        Path(out) / "eval_metrics.json"
+        if out
+        else trainer.output_dir / ("eval_native.json" if native else "eval_metrics.json")
+    )
+    metrics_path.parent.mkdir(parents=True, exist_ok=True)
+    save_json(metrics, metrics_path)
+    logger.info(f"Saved metrics: {metrics_path}")
 
 
 def run_inference(config, logger) -> None:
@@ -219,6 +259,60 @@ def run_analysis(config, logger) -> None:
     logger.info("Analysis completed")
 
 
+def run_export(config, logger) -> None:
+    """Export an Orbax checkpoint to a reference-loadable torch ``.pth``
+    (two-way interop; the inverse of ``--pretrained`` import)."""
+    import numpy as np
+
+    from multimodal_organ_segmentation_tpu.models.build import build_model
+    from multimodal_organ_segmentation_tpu.models.torch_export import (
+        export_torch_checkpoint,
+    )
+    from multimodal_organ_segmentation_tpu.train.checkpoint import load_checkpoint
+    from multimodal_organ_segmentation_tpu.train.optim import make_optimizer
+    from multimodal_organ_segmentation_tpu.train.trainer import TrainState
+
+    ckpt_path = config["_args"].get("checkpoint")
+    out = config["_args"].get("output")
+    if ckpt_path is None or out is None:
+        raise ValueError("--checkpoint and --output are required for export mode")
+
+    import jax
+    import jax.numpy as jnp
+
+    config.set("model.pretrained", None)
+    model = build_model(config)
+    roi = tuple(config.get("model.backbone.img_size", [96, 96, 96]))
+    n_mod = len(config.get("data.modalities", ["CT", "PET"]))
+    x0 = jnp.zeros((1, *roi, n_mod), jnp.float32)
+    variables = dict(
+        jax.jit(lambda k: model.init(k, x0, train=False))(jax.random.key(0))
+    )
+    tx = make_optimizer(config)
+    params0 = variables.pop("params")
+    target = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params0,
+        opt_state=tx.init(params0),
+        extra={
+            k: v
+            for k, v in variables.items()
+            if k not in ("intermediates", "perturbations")
+        },
+    )
+    ckpt = load_checkpoint(ckpt_path, target=target)
+    Path(out).parent.mkdir(parents=True, exist_ok=True)
+    export_torch_checkpoint(
+        ckpt["tree"].params,
+        config,
+        out,
+        epoch=ckpt["epoch"],
+        best_metric=ckpt["best_metric"],
+        history=ckpt["history"],
+    )
+    logger.info(f"Exported torch checkpoint: {out}")
+
+
 def run_explain(config, logger) -> None:
     from multimodal_organ_segmentation_tpu.explainability import run_explainability
 
@@ -234,6 +328,14 @@ def main(argv=None) -> None:
     args = parse_args(argv)
     config = load_config(args.config)
     config = merge_config_with_args(config, args)
+
+    # multi-host (DCN) bootstrap must precede every other JAX call; the
+    # reference's `distributed` stub was dead config (default.yaml:164-167)
+    from multimodal_organ_segmentation_tpu.parallel.multihost import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed(config)
 
     platform = args.device or str(config.get("hardware.platform", "") or "")
     if platform == "cpu":
@@ -262,6 +364,7 @@ def main(argv=None) -> None:
         "preprocess": run_preprocess,
         "analysis": run_analysis,
         "explain": run_explain,
+        "export": run_export,
     }
     try:
         runners[args.mode](config, logger)

@@ -101,6 +101,32 @@ class TestFullPipeline:
                   "--device", "cpu",
                   "--checkpoint", str(workdir / "outputs" / "tiny_cpu" / "best")])
 
+    def test_3b_eval_native_grid(self, workdir, monkeypatch):
+        """evaluation.sliding_window: true → sliding-window eval on the
+        ORIGINAL grids, metrics JSON with per-class dice + hd95 (the
+        reference can only score the resized grid)."""
+        import json
+
+        import yaml
+
+        monkeypatch.chdir(workdir)
+        with open(workdir / "cfg.yaml") as f:
+            raw = yaml.safe_load(f)
+        raw["evaluation"] = {"sliding_window": True}
+        with open(workdir / "cfg_native.yaml", "w") as f:
+            yaml.safe_dump(raw, f)
+
+        cli.main(["--mode", "eval", "--config", str(workdir / "cfg_native.yaml"),
+                  "--device", "cpu",
+                  "--checkpoint", str(workdir / "outputs" / "tiny_cpu" / "best")])
+        mfile = workdir / "outputs" / "tiny_cpu" / "eval_native.json"
+        assert mfile.exists()
+        metrics = json.loads(mfile.read_text())
+        assert 0.0 <= metrics["dice"] <= 1.0
+        assert len(metrics["dice_per_class"]) == 4
+        assert metrics["hd95"] is not None
+        assert metrics["num_cases"] == 2
+
     def test_4_inference(self, workdir, monkeypatch):
         monkeypatch.chdir(workdir)
         # inference layout {input}/{mod}/case.nii.gz from test data
@@ -137,6 +163,44 @@ class TestFullPipeline:
                   "--generate-report"])
         assert (workdir / "analysis" / "tmtv_analysis.csv").exists()
         assert (workdir / "analysis" / "report.html").exists()
+
+    def test_5b_export_torch(self, workdir, monkeypatch):
+        """--mode export writes a reference-loadable .pth; importing it
+        back reproduces the trained params exactly."""
+        import torch
+
+        from multimodal_organ_segmentation_tpu.models.torch_import import (
+            import_torch_checkpoint,
+        )
+        from multimodal_organ_segmentation_tpu.utils.config import load_config as lc
+
+        monkeypatch.chdir(workdir)
+        out = workdir / "export" / "model.pth"
+        cli.main(["--mode", "export", "--config", str(workdir / "cfg.yaml"),
+                  "--device", "cpu",
+                  "--checkpoint", str(workdir / "outputs" / "tiny_cpu" / "best"),
+                  "--output", str(out)])
+        assert out.exists()
+        ckpt = torch.load(out, map_location="cpu", weights_only=False)
+        assert "model_state_dict" in ckpt
+        assert all(k.startswith("backbone.") for k in ckpt["model_state_dict"])
+        # roundtrip: imported params must match the orbax checkpoint's
+        cfg = lc(str(workdir / "cfg.yaml"))
+        back = import_torch_checkpoint(out, cfg)
+        from multimodal_organ_segmentation_tpu.train.checkpoint import (
+            load_checkpoint,
+        )
+
+        orig = load_checkpoint(
+            workdir / "outputs" / "tiny_cpu" / "best"
+        )["tree"]["params"]
+        import jax
+
+        la = jax.tree_util.tree_leaves(back)
+        lb = jax.tree_util.tree_leaves(orig)
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_6_explain(self, workdir, monkeypatch):
         monkeypatch.chdir(workdir)
