@@ -12,3 +12,9 @@ from multimodal_organ_segmentation_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from multimodal_organ_segmentation_tpu.parallel.multihost import (  # noqa: F401
+    maybe_initialize_distributed,
+    multihost_env_detected,
+    process_info,
+    resolve_distributed_args,
+)

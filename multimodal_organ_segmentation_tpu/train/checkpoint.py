@@ -41,6 +41,11 @@ def save_checkpoint(
     """
     import shutil
 
+    # multi-host: the train state is replicated, so only process 0 writes
+    # (every process writing to shared storage would race on the swap)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
+
     path = Path(path).resolve()
     tmp = path.with_name(path.name + ".tmp")
     if tmp.exists():
