@@ -1,0 +1,290 @@
+"""Export this framework's params to reference-loadable torch checkpoints.
+
+Inverse of ``torch_import.py`` — two-way interop (VERDICT r2 missing #3):
+write our trained flax params into the reference's ``.pth`` layout
+(``{"epoch", "model_state_dict", ...}`` via torch.save — reference
+src/models/build.py:153-180) so our training runs can be A/B'd inside the
+reference's own eval harness, and ``import(export(params)) == params``
+exactly.
+
+Layout conversions (inverse of the import side):
+- Conv3d          ``[kh, kw, kd, in, out]`` → ``[out, in, kh, kw, kd]``
+- ConvTranspose3d flax ``[kh, kw, kd, in, out]`` (spatially flipped) →
+                  torch ``[in, out, kh, kw, kd]``
+- Dense           ``[in, out]`` → Linear ``[out, in]``
+
+Bias caveat: MONAI's UnetResBlock / transp_conv layers are bias-free while
+flax convs carry biases. Freshly initialized (and torch-imported) biases
+are zeros, so the roundtrip is exact; a natively *trained* monai_compat
+model may hold non-zero biases with no torch slot — those are dropped with
+a warning listing the affected keys and their max |bias|.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _inv_conv_kernel(w) -> np.ndarray:
+    # [kh, kw, kd, in, out] → [out, in, kh, kw, kd]
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (4, 3, 0, 1, 2)))
+
+
+def _inv_conv_transpose_kernel(w) -> np.ndarray:
+    # flax [kh, kw, kd, in, out] (flipped) → torch [in, out, kh, kw, kd]
+    w = np.asarray(w)[::-1, ::-1, ::-1]
+    return np.ascontiguousarray(np.transpose(w, (3, 4, 0, 1, 2)))
+
+
+def _np(a) -> np.ndarray:
+    return np.asarray(a, dtype=np.float32)
+
+
+def _put_convblock(sd: Dict[str, np.ndarray], prefix: str, block: Mapping) -> None:
+    sd[f"{prefix}.conv1.weight"] = _inv_conv_kernel(block["Conv_0"]["kernel"])
+    sd[f"{prefix}.conv1.bias"] = _np(block["Conv_0"]["bias"])
+    sd[f"{prefix}.conv2.weight"] = _inv_conv_kernel(block["Conv_1"]["kernel"])
+    sd[f"{prefix}.conv2.bias"] = _np(block["Conv_1"]["bias"])
+
+
+def to_torch_unet3d(params: Mapping, num_levels: int) -> Dict[str, np.ndarray]:
+    """Our UNet3D params tree → reference UNet3D state_dict
+    (inverse of ``from_torch_unet3d``; reference unet.py:116-226)."""
+    sd: Dict[str, np.ndarray] = {}
+    _put_convblock(sd, "init_conv", params["init_conv"])
+    for i in range(num_levels - 1):
+        _put_convblock(sd, f"encoders.{i}.conv", params[f"down{i}"]["ConvBlock3D_0"])
+    for j in range(num_levels - 1):
+        up = params[f"up{j}"]
+        sd[f"decoders.{j}.up.weight"] = _inv_conv_transpose_kernel(
+            up["ConvTranspose_0"]["kernel"]
+        )
+        sd[f"decoders.{j}.up.bias"] = _np(up["ConvTranspose_0"]["bias"])
+        _put_convblock(sd, f"decoders.{j}.conv", up["ConvBlock3D_0"])
+    sd["out_conv.weight"] = _inv_conv_kernel(params["out_conv"]["kernel"])
+    sd["out_conv.bias"] = _np(params["out_conv"]["bias"])
+    return sd
+
+
+def _put_dense(sd: Dict[str, np.ndarray], prefix: str, dense: Mapping) -> None:
+    sd[f"{prefix}.weight"] = np.ascontiguousarray(_np(dense["kernel"]).T)
+    if "bias" in dense:
+        sd[f"{prefix}.bias"] = _np(dense["bias"])
+
+
+def _put_layernorm(sd: Dict[str, np.ndarray], prefix: str, ln: Mapping) -> None:
+    sd[f"{prefix}.weight"] = _np(ln["scale"])
+    sd[f"{prefix}.bias"] = _np(ln["bias"])
+
+
+def _drop_bias(dropped: list, key: str, block: Mapping, name: str) -> None:
+    b = block.get(name)
+    if b is not None:
+        mx = float(np.max(np.abs(np.asarray(b)))) if np.size(b) else 0.0
+        if mx > 0:
+            dropped.append((key, mx))
+
+
+def _put_res_block(
+    sd: Dict[str, np.ndarray], prefix: str, block: Mapping, dropped: list
+) -> None:
+    """Our _UnetrResBlock → MONAI UnetResBlock keys (bias-free convs)."""
+    for flax_name, torch_name in (
+        ("Conv_0", "conv1"),
+        ("Conv_1", "conv2"),
+        ("Conv_2", "conv3"),
+    ):
+        if flax_name not in block:
+            continue
+        sd[f"{prefix}.{torch_name}.conv.weight"] = _inv_conv_kernel(
+            block[flax_name]["kernel"]
+        )
+        _drop_bias(dropped, f"{prefix}.{torch_name}.conv.bias", block[flax_name], "bias")
+
+
+def to_torch_swin_unetr(
+    params: Mapping,
+    depths: Tuple[int, ...] = (2, 2, 2, 2),
+    window_size: Tuple[int, int, int] = (7, 7, 7),
+) -> Dict[str, np.ndarray]:
+    """Our ``SwinUNETR(monai_compat=True)`` params → MONAI SwinUNETR
+    state_dict (inverse of ``from_torch_swin_unetr``), including the
+    ``relative_position_index`` buffers MONAI registers per block."""
+    from multimodal_organ_segmentation_tpu.models.swin_unetr import (
+        _relative_position_index,
+    )
+
+    sd: Dict[str, np.ndarray] = {}
+    dropped: list = []
+
+    pe = params["patch_embed"]
+    sd["swinViT.patch_embed.proj.weight"] = _inv_conv_kernel(pe["kernel"])
+    sd["swinViT.patch_embed.proj.bias"] = _np(pe["bias"])
+
+    rel_idx = _relative_position_index(tuple(window_size)).astype(np.int64)
+    for s in range(4):
+        layer = f"swinViT.layers{s + 1}.0"
+        for b in range(depths[s]):
+            blk = f"{layer}.blocks.{b}"
+            p = params[f"stage{s}_block{b}"]
+            _put_layernorm(sd, f"{blk}.norm1", p["norm1"])
+            _put_dense(sd, f"{blk}.attn.qkv", p["attn"]["qkv"])
+            sd[f"{blk}.attn.relative_position_bias_table"] = _np(
+                p["attn"]["rel_pos_bias"]
+            )
+            sd[f"{blk}.attn.relative_position_index"] = rel_idx
+            _put_dense(sd, f"{blk}.attn.proj", p["attn"]["proj"])
+            _put_layernorm(sd, f"{blk}.norm2", p["norm2"])
+            _put_dense(sd, f"{blk}.mlp.linear1", p["mlp_fc1"])
+            _put_dense(sd, f"{blk}.mlp.linear2", p["mlp_fc2"])
+        merge = params[f"merge{s}"]
+        _put_layernorm(sd, f"{layer}.downsample.norm", merge["LayerNorm_0"])
+        # PatchMerging reduction is bias-free on both sides
+        sd[f"{layer}.downsample.reduction.weight"] = np.ascontiguousarray(
+            _np(merge["Dense_0"]["kernel"]).T
+        )
+
+    for ours, monai in (
+        ("encoder0", "encoder1"),
+        ("encoder1", "encoder2"),
+        ("encoder2", "encoder3"),
+        ("encoder3", "encoder4"),
+        ("encoder10", "encoder10"),
+    ):
+        _put_res_block(sd, f"{monai}.layer", params[ours], dropped)
+    for n in range(5, 0, -1):
+        dec = params[f"decoder{n}"]
+        sd[f"decoder{n}.transp_conv.conv.weight"] = _inv_conv_transpose_kernel(
+            dec["ConvTranspose_0"]["kernel"]
+        )
+        _drop_bias(
+            dropped,
+            f"decoder{n}.transp_conv.conv.bias",
+            dec["ConvTranspose_0"],
+            "bias",
+        )
+        _put_res_block(sd, f"decoder{n}.conv_block", dec["_UnetrResBlock_0"], dropped)
+    sd["out.conv.conv.weight"] = _inv_conv_kernel(params["out_conv"]["kernel"])
+    sd["out.conv.conv.bias"] = _np(params["out_conv"]["bias"])
+
+    if dropped:
+        lines = ", ".join(f"{k} (max|b|={m:.2e})" for k, m in dropped)
+        warnings.warn(
+            f"exported SwinUNETR drops {len(dropped)} non-zero conv biases "
+            f"that have no slot in MONAI's bias-free layers: {lines}. "
+            f"Logits from the exported checkpoint will differ accordingly.",
+            stacklevel=2,
+        )
+    return sd
+
+
+def to_torch_dual_encoder(
+    params: Mapping,
+    num_levels: int,
+    num_modalities: int = 2,
+    fusion_type: str = "concat",
+) -> Dict[str, np.ndarray]:
+    """Our DualEncoder params → reference DualEncoder state_dict
+    (inverse of ``from_torch_dual_encoder``)."""
+    sd: Dict[str, np.ndarray] = {}
+    for m in range(num_modalities):
+        enc = params[f"encoder{m}"]
+        _put_convblock(sd, f"encoders.{m}.init_conv", enc["init_conv"])
+        for i in range(num_levels - 1):
+            _put_convblock(
+                sd, f"encoders.{m}.blocks.{i}.conv", enc[f"down{i}"]["ConvBlock3D_0"]
+            )
+    for j in range(num_levels - 1):
+        up = params[f"up{j}"]
+        sd[f"decoder.{j}.up.weight"] = _inv_conv_transpose_kernel(
+            up["ConvTranspose_0"]["kernel"]
+        )
+        sd[f"decoder.{j}.up.bias"] = _np(up["ConvTranspose_0"]["bias"])
+        _put_convblock(sd, f"decoder.{j}.conv", up["ConvBlock3D_0"])
+    sd["out_conv.weight"] = _inv_conv_kernel(params["out_conv"]["kernel"])
+    sd["out_conv.bias"] = _np(params["out_conv"]["bias"])
+    if fusion_type == "concat":
+        for lv in range(num_levels):
+            proj = params[f"fusion_proj{lv}"]
+            sd[f"fusion_proj.{lv}.weight"] = _inv_conv_kernel(proj["kernel"])
+            sd[f"fusion_proj.{lv}.bias"] = _np(proj["bias"])
+    elif fusion_type == "attention":
+        for lv in range(num_levels):
+            attn = params[f"fusion_attn{lv}"]
+            _put_dense(sd, f"fusion_layers.{lv}.attention.2", attn["Dense_0"])
+            _put_dense(sd, f"fusion_layers.{lv}.attention.4", attn["Dense_1"])
+    return sd
+
+
+def export_torch_checkpoint(
+    params: Mapping,
+    config,
+    path,
+    epoch: int = 0,
+    best_metric: float = 0.0,
+    **extra,
+) -> str:
+    """Write our params as a reference-loadable ``.pth``.
+
+    Config-driven dispatch mirroring ``import_torch_checkpoint``; the
+    state_dict keys carry the reference wrapper prefixes
+    (``backbone.`` for UNet3D/DualEncoder, ``backbone.model.`` for the
+    MONAI-wrapped SwinUNETR — src/models/backbones/swin_unetr.py:20) so
+    ``torch.load`` + ``model.load_state_dict`` works verbatim in the
+    reference repo. File layout matches save_checkpoint
+    (src/models/build.py:153-180).
+    """
+    import torch
+
+    backbone_params = params.get("backbone", params)
+    name = str(config.get("model.name", "swin_unetr")).lower()
+    backbone = config.get("model.backbone", {}) or {}
+    if hasattr(backbone, "to_dict"):
+        backbone = backbone.to_dict()
+
+    if name in ("unet", "unet3d"):
+        feats = list(backbone.get("features", [32, 64, 128, 256, 512]))
+        sd = to_torch_unet3d(backbone_params, num_levels=len(feats))
+        prefix = "backbone."
+    elif name == "swin_unetr":
+        sd = to_torch_swin_unetr(
+            backbone_params,
+            depths=tuple(backbone.get("depths", [2, 2, 2, 2])),
+            window_size=tuple(backbone.get("window_size", [7, 7, 7])),
+        )
+        prefix = "backbone.model."
+    elif name == "dual_encoder":
+        fusion = config.get("model.fusion", {}) or {}
+        ftype = str(
+            fusion.get("type", "concat") if hasattr(fusion, "get") else "concat"
+        ).lower()
+        if ftype in ("early", "late"):
+            ftype = "concat"
+        feats = list(backbone.get("features", [32, 64, 128, 256, 512]))
+        sd = to_torch_dual_encoder(
+            backbone_params,
+            num_levels=len(feats),
+            num_modalities=len(config.get("data.modalities", ["CT", "PET"])),
+            fusion_type=ftype,
+        )
+        prefix = "backbone."
+    else:
+        raise ValueError(f"no torch export mapping for model.name={name!r}")
+
+    state_dict = {
+        # np.array(copy) keeps torch off read-only buffers (flax params
+        # can alias immutable memory)
+        prefix + k: torch.from_numpy(np.array(v))
+        for k, v in sd.items()
+    }
+    ckpt = {
+        "epoch": int(epoch),
+        "model_state_dict": state_dict,
+        "best_metric": float(best_metric),
+        **extra,
+    }
+    torch.save(ckpt, path)
+    return str(path)

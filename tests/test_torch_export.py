@@ -1,0 +1,181 @@
+"""Torch checkpoint EXPORT: two-way interop (VERDICT r2 missing #3).
+
+``import(export(params)) == params`` exactly for every mapped model, and
+the torch replica produces identical logits from an exported file.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from multimodal_organ_segmentation_tpu.models.torch_export import (
+    export_torch_checkpoint,
+)
+from multimodal_organ_segmentation_tpu.models.torch_import import (
+    import_torch_checkpoint,
+)
+from multimodal_organ_segmentation_tpu.utils.config import ConfigNode
+
+
+def _tree_equal(a, b):
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb, f"tree structure differs:\n{ta}\n{tb}"
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestRoundtripUNet3D:
+    def test_exact_roundtrip(self, tmp_path):
+        from multimodal_organ_segmentation_tpu.models.unet3d import UNet3D
+
+        cfg = ConfigNode(
+            {
+                "model": {
+                    "name": "unet3d",
+                    "backbone": {"features": [4, 8, 16]},
+                },
+                "data": {"modalities": ["CT", "PET"]},
+            }
+        )
+        model = UNet3D(out_channels=4, features=(4, 8, 16))
+        x0 = jnp.zeros((1, 16, 16, 16, 2))
+        params = model.init(jax.random.key(0), x0, train=False)["params"]
+        path = tmp_path / "unet.pth"
+        export_torch_checkpoint(
+            {"backbone": params}, cfg, path, epoch=7, best_metric=0.5
+        )
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        assert ckpt["epoch"] == 7
+        back = import_torch_checkpoint(path, cfg)
+        _tree_equal({"backbone": params}, back)
+
+
+class TestRoundtripSwin:
+    def _cfg(self):
+        return ConfigNode(
+            {
+                "model": {
+                    "name": "swin_unetr",
+                    "backbone": {
+                        "feature_size": 4,
+                        "depths": [2, 2, 2, 2],
+                        "num_heads": [2, 4, 8, 8],
+                        "window_size": [3, 3, 3],
+                        "monai_compat": True,
+                    },
+                },
+                "data": {"modalities": ["CT", "PET"]},
+            }
+        )
+
+    def _model(self):
+        from multimodal_organ_segmentation_tpu.models.swin_unetr import SwinUNETR
+
+        return SwinUNETR(
+            out_channels=4,
+            feature_size=4,
+            depths=(2, 2, 2, 2),
+            num_heads=(2, 4, 8, 8),
+            window_size=(3, 3, 3),
+            use_fused=False,
+            monai_compat=True,
+        )
+
+    def test_exact_roundtrip(self, tmp_path):
+        model = self._model()
+        x0 = jnp.zeros((1, 32, 32, 32, 2))
+        params = jax.jit(lambda k: model.init(k, x0, train=False))(
+            jax.random.key(0)
+        )["params"]
+        path = tmp_path / "swin.pth"
+        export_torch_checkpoint({"backbone": params}, self._cfg(), path)
+        back = import_torch_checkpoint(path, self._cfg())
+        _tree_equal({"backbone": params}, back)
+
+    def test_replica_identical_logits(self, tmp_path):
+        """The torch replica loaded from an exported .pth reproduces our
+        flax model's logits."""
+        from tests.monai_swin_replica import MonaiSwinUNETR
+
+        model = self._model()
+        rng = np.random.default_rng(3)
+        # 64³: the /32 bottleneck must be ≥2 voxels or torch InstanceNorm3d
+        # rejects it (same constraint as tests/test_swin_import.py)
+        x = rng.normal(size=(1, 64, 64, 64, 2)).astype(np.float32)
+        variables = jax.jit(lambda k: model.init(k, jnp.asarray(x), train=False))(
+            jax.random.key(1)
+        )
+        path = tmp_path / "swin.pth"
+        export_torch_checkpoint(
+            {"backbone": variables["params"]}, self._cfg(), path
+        )
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = {
+            k.removeprefix("backbone.").removeprefix("model."): v
+            for k, v in ckpt["model_state_dict"].items()
+        }
+        tmodel = MonaiSwinUNETR(
+            in_channels=2,
+            out_channels=4,
+            feature_size=4,
+            depths=(2, 2, 2, 2),
+            num_heads=(2, 4, 8, 8),
+            window_size=(3, 3, 3),
+            merge_order="monai_v1",
+        ).eval()
+        missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+        assert not unexpected, f"unexpected keys: {unexpected}"
+        assert not missing, f"missing keys: {missing}"
+
+        with torch.no_grad():
+            t_out = tmodel(torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))))
+        t_out = np.transpose(t_out.numpy(), (0, 2, 3, 4, 1))
+        j_out = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+        scale = max(float(np.abs(t_out).max()), 1.0)
+        assert np.abs(t_out - j_out).max() <= 1e-3 * scale
+
+    def test_trained_bias_warns(self, tmp_path):
+        """Non-zero biases in MONAI's bias-free slots must warn on export."""
+        model = self._model()
+        x0 = jnp.zeros((1, 32, 32, 32, 2))
+        params = jax.jit(lambda k: model.init(k, x0, train=False))(
+            jax.random.key(0)
+        )["params"]
+        params = jax.tree_util.tree_map(lambda a: np.asarray(a), params)
+        params["encoder0"]["Conv_0"]["bias"] = params["encoder0"]["Conv_0"][
+            "bias"
+        ] + 0.1
+        with pytest.warns(UserWarning, match="bias-free"):
+            export_torch_checkpoint(
+                {"backbone": params}, self._cfg(), tmp_path / "w.pth"
+            )
+
+
+class TestRoundtripDualEncoder:
+    def test_exact_roundtrip(self, tmp_path):
+        from multimodal_organ_segmentation_tpu.models.dual_encoder import DualEncoder
+
+        cfg = ConfigNode(
+            {
+                "model": {
+                    "name": "dual_encoder",
+                    "backbone": {"features": [4, 8]},
+                    "fusion": {"type": "early"},  # maps to concat
+                },
+                "data": {"modalities": ["CT", "PET"]},
+            }
+        )
+        model = DualEncoder(
+            num_modalities=2, out_channels=3, features=(4, 8), fusion_type="concat"
+        )
+        x0 = jnp.zeros((1, 16, 16, 16, 2))
+        params = model.init(jax.random.key(0), x0, train=False)["params"]
+        path = tmp_path / "dual.pth"
+        export_torch_checkpoint({"backbone": params}, cfg, path)
+        back = import_torch_checkpoint(path, cfg)
+        _tree_equal({"backbone": params}, back)
