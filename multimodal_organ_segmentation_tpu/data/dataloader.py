@@ -70,7 +70,7 @@ class DataLoader:
         self.num_workers = max(0, num_workers)
         self.prefetch = max(1, prefetch)
         self.collate = collate
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -79,10 +79,13 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _index_batches(self) -> List[np.ndarray]:
+    def _index_batches(self, epoch: int) -> List[np.ndarray]:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(idx)
+            # per-epoch deterministic permutation keyed by (seed, epoch) —
+            # stateless, so a preempted run reproduces the exact batch
+            # order of the uninterrupted one (step-granular resume)
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
         batches = [
             idx[i : i + self.batch_size]
             for i in range(0, len(idx), self.batch_size)
@@ -91,9 +94,18 @@ class DataLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
         return batches
 
+    def epoch_iter(
+        self, epoch: int, skip_batches: int = 0
+    ) -> Iterator[Dict[str, Any]]:
+        """Iterate a specific epoch's (deterministic) batch order, skipping
+        the first ``skip_batches`` at the index level (no wasted loading)."""
+        return self._iterate(self._index_batches(epoch)[skip_batches:])
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         self._epoch += 1
-        batches = self._index_batches()
+        return self._iterate(self._index_batches(self._epoch))
+
+    def _iterate(self, batches: List[np.ndarray]) -> Iterator[Dict[str, Any]]:
 
         if self.num_workers == 0:
             for b in batches:

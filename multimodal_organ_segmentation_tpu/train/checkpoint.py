@@ -103,6 +103,7 @@ def load_checkpoint(path, target: Optional[Any] = None) -> Dict[str, Any]:
         "epoch": int(meta.get("epoch", 0)),
         "best_metric": float(meta.get("best_metric", 0.0)),
         "history": meta.get("history", {}),
+        "meta": meta,  # full metadata incl. step-resume fields
     }
 
 

@@ -224,6 +224,8 @@ class Trainer:
         )
         self._resume_from = resume_from
         self._warned_replicate = False
+        self._resume_step_in_epoch = 0
+        self.last_step_losses: List[float] = []
 
     # -- state ------------------------------------------------------------
 
@@ -285,7 +287,21 @@ class Trainer:
     def resume(self, path) -> None:
         ckpt = load_checkpoint(path, target=self.state)
         self.state = ckpt["tree"]
-        self.current_epoch = ckpt["epoch"] + 1
+        meta = ckpt.get("meta", {}) or {}
+        step_in_epoch = int(meta.get("step_in_epoch", 0))
+        if step_in_epoch > 0:
+            # step-granular checkpoint: re-enter the SAME epoch, skip the
+            # steps already taken, restore the PRNG stream position — the
+            # resumed run reproduces the uninterrupted loss trajectory
+            # exactly (preemption recovery; the reference can only resume
+            # at epoch granularity)
+            self.current_epoch = ckpt["epoch"]
+            self._resume_step_in_epoch = step_in_epoch
+        else:
+            self.current_epoch = ckpt["epoch"] + 1
+            self._resume_step_in_epoch = 0
+        if "key_counter" in meta:
+            self.keys.counter = int(meta["key_counter"])
         self.best_metric = ckpt["best_metric"]
         self.history = {
             "train_loss": list(ckpt["history"].get("train_loss", [])),
@@ -293,7 +309,10 @@ class Trainer:
             "val_dice": list(ckpt["history"].get("val_dice", [])),
         }
         if self.logger:
-            self.logger.info(f"Resumed from epoch {self.current_epoch}")
+            self.logger.info(
+                f"Resumed from epoch {self.current_epoch}"
+                + (f" step {step_in_epoch}" if step_in_epoch else "")
+            )
 
     def load_params(self, path) -> None:
         """Load params-only (eval/inference from a checkpoint)."""
@@ -408,6 +427,10 @@ class Trainer:
         return self.history
 
     def _train_epoch(self, lr: float) -> float:
+        from multimodal_organ_segmentation_tpu.train.checkpoint import (
+            save_checkpoint,
+        )
+
         if self.state is None:
             first = next(iter(self.train_loader))
             self.init_state(np.asarray(first["image"][0]))
@@ -416,9 +439,29 @@ class Trainer:
             opt_state=set_learning_rate(self.state.opt_state, lr)
         )
 
+        # step-granular preemption recovery: every N optimizer steps an
+        # atomic "last_step" checkpoint records (state, step-in-epoch, PRNG
+        # counter); resume re-enters this epoch at the exact position
+        save_every_steps = int(
+            self.config.get("training.checkpoint.save_every_steps", 0) or 0
+        )
+        skip_steps = self._resume_step_in_epoch
+        self._resume_step_in_epoch = 0
+        if hasattr(self.train_loader, "epoch_iter"):
+            it = self.train_loader.epoch_iter(
+                self.current_epoch + 1,
+                skip_batches=skip_steps * self.accum_steps,
+            )
+        else:  # plain iterables (test fixtures): manual skip
+            it = iter(self.train_loader)
+            for _ in range(skip_steps * self.accum_steps):
+                next(it, None)
+
         total, count = 0.0, 0
+        step_in_epoch = skip_steps
+        self.last_step_losses = []
         group: List[Dict] = []
-        for batch in self.train_loader:
+        for batch in it:
             group.append(batch)
             if len(group) < self.accum_steps:
                 continue
@@ -427,8 +470,21 @@ class Trainer:
             self.state, metrics = self._train_step(
                 self.state, images, labels, self.keys.next()
             )
-            total += float(metrics["loss"])
+            loss = float(metrics["loss"])
+            total += loss
             count += 1
+            step_in_epoch += 1
+            self.last_step_losses.append(loss)
+            if save_every_steps and step_in_epoch % save_every_steps == 0:
+                save_checkpoint(
+                    self.state,
+                    self.output_dir / "last_step",
+                    epoch=self.current_epoch,
+                    best_metric=self.best_metric,
+                    history=self.history,
+                    step_in_epoch=step_in_epoch,
+                    key_counter=self.keys.counter,
+                )
         # trailing partial accumulation group is dropped (the reference
         # leaves its grads un-stepped, trainer.py:245-248)
         return total / max(count, 1)

@@ -30,23 +30,29 @@ def set_seed(seed: int) -> jax.Array:
 
 
 class KeyStream:
-    """A splittable stream of JAX PRNG keys.
+    """A counter-based stream of JAX PRNG keys.
+
+    Keys are ``fold_in(root, i)`` for a monotonically increasing counter —
+    stateless given (seed, counter), so a preempted run restores the exact
+    stream position in O(1) by persisting the counter in its checkpoint
+    (step-granular resume; the split-chain design would need O(n) replay).
 
     >>> ks = KeyStream(42)
     >>> k1 = ks.next()   # fresh key each call
     >>> k2 = ks.next()
     """
 
-    def __init__(self, seed_or_key):
+    def __init__(self, seed_or_key, counter: int = 0):
         if isinstance(seed_or_key, int):
             self._key = jax.random.key(seed_or_key)
         else:
             self._key = seed_or_key
+        self.counter = int(counter)
 
     def next(self) -> jax.Array:
-        self._key, sub = jax.random.split(self._key)
+        sub = jax.random.fold_in(self._key, self.counter)
+        self.counter += 1
         return sub
 
     def split(self, n: int):
-        self._key, *subs = jax.random.split(self._key, n + 1)
-        return subs
+        return [self.next() for _ in range(n)]
