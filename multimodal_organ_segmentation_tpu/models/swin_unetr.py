@@ -595,6 +595,11 @@ class SwinUNETR(nn.Module):
     # starts at /4 (13824 tokens for a 96³ ROI), where voxel-token
     # attention is MXU-friendly; /2 (110k tokens) would dominate runtime.
     modality_fusion: Optional[str] = None
+    # which pyramid stages cross-attend (post-merge index: 0=/4 … 3=/32).
+    # The /4 stage holds 13824 tokens for a 96³ ROI and dominates the
+    # fusion cost; restricting to deeper stages trades a little fusion
+    # bandwidth for throughput (config: model.fusion.stages).
+    fusion_stages: Sequence[int] = (0, 1, 2, 3)
 
     @nn.compact
     def __call__(
@@ -697,11 +702,12 @@ class SwinUNETR(nn.Module):
                 # at 12.5% MXU (K-dim pads to 128) — measured ~4x slower
                 # fusion than d=96 at the /4 stage (r2). Heads must also
                 # divide the channel count (e.g. 320ch → 2 heads, not 3).
-                y = CrossAttentionFusion(
-                    num_heads=_divisor_heads(y.shape[-1], 96),
-                    dtype=self.dtype,
-                    name=f"xfuse{stage}",
-                )(y, aux, train)
+                if stage in tuple(self.fusion_stages):
+                    y = CrossAttentionFusion(
+                        num_heads=_divisor_heads(y.shape[-1], 96),
+                        dtype=self.dtype,
+                        name=f"xfuse{stage}",
+                    )(y, aux, train)
             if self.monai_compat:
                 hidden.append(y)  # MONAI taps post-merge
         if self.enable_perturb:
@@ -803,6 +809,10 @@ def build_swin_unetr(config, dtype=jnp.float32) -> SwinUNETR:
         monai_compat=bool(backbone.get("monai_compat", False)),
         scan_blocks=bool(backbone.get("scan_blocks", False)),
         modality_fusion=modality_fusion,
+        fusion_stages=tuple(
+            (fusion.get("stages") if hasattr(fusion, "get") else None)
+            or (0, 1, 2, 3)
+        ),
     )
 
 

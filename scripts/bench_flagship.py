@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""A/B the flagship sliding-window config: window size × fusion × stages.
+
+VERDICT r2 item 4: the bench headline should be the best honest
+configuration of this framework's own model (checkpoint parity does not
+constrain the native flagship). 6³ windows give zero padding at every
+stage of a 96³ ROI (96/2=48, /4=24, /8=12, /16=6 — all divide 6);
+fusion_stages trades the expensive /4 cross-attention for throughput.
+
+Usage: python scripts/bench_flagship.py [window] [fusion 0|1] [stages csv|-] [sw_batch]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+window = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+fusion = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
+stages = (
+    tuple(int(s) for s in sys.argv[3].split(","))
+    if len(sys.argv) > 3 and sys.argv[3] != "-"
+    else (0, 1, 2, 3)
+)
+sw_batch = int(sys.argv[4]) if len(sys.argv) > 4 else 15
+
+VOL_SHAPE = (192, 192, 256)
+ROI = (96, 96, 96)
+NUM_CLASSES = 8
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_organ_segmentation_tpu.models.swin_unetr import SwinUNETR
+    from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+        sliding_window_inference,
+    )
+
+    log(f"window={window} fusion={fusion} stages={stages} sw_batch={sw_batch}")
+    model = SwinUNETR(
+        out_channels=NUM_CLASSES,
+        feature_size=48,
+        depths=(2, 2, 2, 2),
+        num_heads=(3, 6, 12, 24),
+        window_size=(window, window, window),
+        dtype=jnp.bfloat16,
+        modality_fusion="cross_attention" if fusion else None,
+        fusion_stages=stages,
+    )
+    volume = jax.jit(
+        lambda key: jax.random.normal(key, (*VOL_SHAPE, 2), jnp.float32)
+    )(jax.random.key(1))
+    x0 = jnp.zeros((1, *ROI, 2), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, x0, train=False))(jax.random.key(0))
+    log("init done")
+
+    def predict_fn(v, patches):
+        return model.apply(v, patches, train=False)
+
+    @jax.jit
+    def run(v, vol):
+        logits = sliding_window_inference(
+            vol,
+            predict_fn,
+            roi_size=ROI,
+            num_classes=NUM_CLASSES,
+            overlap=0.5,
+            sw_batch_size=sw_batch,
+            mode="gaussian",
+            params=v,
+        )
+        return jnp.sum(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+
+    t0 = time.perf_counter()
+    float(run(variables, volume))
+    log(f"compile+warm {time.perf_counter() - t0:.0f}s")
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        float(run(variables, volume))
+    dt = (time.perf_counter() - t0) / n
+    log(
+        f"RESULT window={window} fusion={int(fusion)} stages={stages} "
+        f"sw_batch={sw_batch}: {60.0 / dt:.2f} vol/min ({dt * 1e3:.0f} ms/vol)"
+    )
+
+
+if __name__ == "__main__":
+    main()
