@@ -211,11 +211,15 @@ def main():
             "xattn_7x7_ref_envelope_vol_per_min": round(xattn_vpm, 3),
             "train_step_ms_96c_fs48_bf16_remat_micro1": round(train_ms, 1),
             "train_mfu": round(train_mfu, 4) if train_mfu else None,
-            # measured r3 (scripts/bench_train_scan.py): scan_blocks lets
-            # 64^3 fs=48 micro=2 backward COMPILE on this box (39s; r2:
-            # never returned) at 184.7 ms/step; 96^3 micro>=2 still crashes
-            # the remote compile helper (env limit, not XLA)
-            "train_64c_micro2_scan_ms_measured_r3": 184.7,
+            # prose note, not a live measurement of THIS run — provenance
+            # and the current numbers live in CLAUDE.md / scripts/
+            "train_batched_note": (
+                "scan_blocks unblocked the 64^3 fs=48 micro=2 backward "
+                "compile on this dev box (r2: never compiled; see "
+                "scripts/bench_train_scan.py + CLAUDE.md); 96^3 micro>=2 "
+                "remains an env limit of the remote compile helper, so the "
+                "honest train number here stays 96^3 micro=1"
+            ),
         },
     }
     print(json.dumps(result))

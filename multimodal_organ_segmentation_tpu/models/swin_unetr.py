@@ -335,10 +335,14 @@ class SwinBlockDyn(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     dtype: Dtype = jnp.float32
+    # static module attribute, NOT a call arg: bundling the Python bool
+    # into the traced scan/remat inputs would turn it into a tracer and
+    # crash `nn.Dropout(deterministic=not train)` under remat
+    train: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask_and_train, shift: jax.Array):
-        mask, train = mask_and_train
+    def __call__(self, x: jax.Array, mask: jax.Array, shift: jax.Array):
+        train = self.train
         b, h, w, d, c = x.shape
         wh, ww, wd = self.window
 
@@ -445,8 +449,9 @@ class SwinStageScan(nn.Module):
             drop=self.drop,
             attn_drop=self.attn_drop,
             dtype=self.dtype,
+            train=train,
             name="blocks",
-        )(x, (mask, train), jnp.asarray(shifts))
+        )(x, mask, jnp.asarray(shifts))
         return y
 
 
@@ -795,6 +800,7 @@ def build_swin_unetr(config, dtype=jnp.float32) -> SwinUNETR:
             "exactly and cannot be combined with model.fusion.type="
             "cross_attention (this framework's extension) — drop one."
         )
+    stages = fusion.get("stages") if hasattr(fusion, "get") else None
     return SwinUNETR(
         out_channels=int(config.get("model.out_channels", 8)),
         feature_size=int(backbone.get("feature_size", 48)),
@@ -809,10 +815,9 @@ def build_swin_unetr(config, dtype=jnp.float32) -> SwinUNETR:
         monai_compat=bool(backbone.get("monai_compat", False)),
         scan_blocks=bool(backbone.get("scan_blocks", False)),
         modality_fusion=modality_fusion,
-        fusion_stages=tuple(
-            (fusion.get("stages") if hasattr(fusion, "get") else None)
-            or (0, 1, 2, 3)
-        ),
+        # stages: [] is a legitimate "no per-stage fusion" request — only
+        # an ABSENT key falls back to all stages
+        fusion_stages=tuple(stages) if stages is not None else (0, 1, 2, 3),
     )
 
 

@@ -250,6 +250,25 @@ def export_torch_checkpoint(
         sd = to_torch_unet3d(backbone_params, num_levels=len(feats))
         prefix = "backbone."
     elif name == "swin_unetr":
+        # mirror the import-side guard (torch_import.py): only the
+        # monai_compat graph maps onto MONAI's slots. A native-wired
+        # SwinUNETR (pre-merge taps, encoder4 res block, fusion modules)
+        # or a scan_blocks tree (stacked stage{s}/blocks params) has
+        # weights with no reference slot — exporting it would produce a
+        # silently wrong .pth.
+        if not bool(backbone.get("monai_compat", False)):
+            raise ValueError(
+                "exporting a SwinUNETR .pth requires model.backbone."
+                "monai_compat: true — the reference graph is MONAI's; the "
+                "native wiring (pre-merge taps, encoder4 block, modality "
+                "fusion) has no slots in it."
+            )
+        if bool(backbone.get("scan_blocks", False)) or "stage0" in backbone_params:
+            raise ValueError(
+                "cannot export a scan_blocks checkpoint: params are "
+                "stacked per stage (stage{s}/blocks); retrain or convert "
+                "with scan_blocks: false for torch interchange."
+            )
         sd = to_torch_swin_unetr(
             backbone_params,
             depths=tuple(backbone.get("depths", [2, 2, 2, 2])),
@@ -263,6 +282,12 @@ def export_torch_checkpoint(
         ).lower()
         if ftype in ("early", "late"):
             ftype = "concat"
+        if ftype not in ("concat", "add", "attention"):
+            raise ValueError(
+                f"the reference DualEncoder only wires concat/add/attention "
+                f"fusion — fusion type {ftype!r} has no .pth layout to "
+                f"export into (same constraint as the import side)."
+            )
         feats = list(backbone.get("features", [32, 64, 128, 256, 512]))
         sd = to_torch_dual_encoder(
             backbone_params,

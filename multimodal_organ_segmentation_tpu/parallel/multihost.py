@@ -114,10 +114,14 @@ def maybe_initialize_distributed(config=None, env: Optional[Dict[str, str]] = No
         return True
 
     explicit = mode in ("true", "on", "1", "force")
-    if not explicit and not multihost_env_detected(env):
+    kwargs = resolve_distributed_args(config, env)
+    # a coordinator configured in YAML counts as detection too — "auto"
+    # must not silently ignore parallel.coordinator_address and let N
+    # processes train as N independent jobs
+    detected = multihost_env_detected(env) or bool(kwargs)
+    if not explicit and not detected:
         return False
 
-    kwargs = resolve_distributed_args(config, env)
     import jax
 
     try:

@@ -124,41 +124,38 @@ def make_train_step(
 def make_eval_step(model, loss_fn: Callable, num_classes: int) -> Callable:
     """Jitted eval: loss + argmax preds + per-class ∩/∪ on device.
 
-    ``weights`` (optional ``[B]`` 0/1 per-sample mask) supports sharded
-    validation: the batch is zero-padded to a multiple of the mesh data
-    axis and padded samples carry weight 0, so loss and the Dice
-    accumulators count only real samples. With the batch dim sharded over
-    ``data`` and params replicated, GSPMD inserts the psum into the
-    cross-batch reductions — the returned scalars are fully reduced
-    (SURVEY.md §7 step 8; the reference validates on one GPU only,
+    ``n_valid`` (optional, static) supports sharded validation: the batch
+    is zero-padded to a multiple of the mesh data axis and the loss/Dice
+    reductions run on the ``[:n_valid]`` slice — a *static* slice, so the
+    numbers are exactly the unpadded batch's for every loss (including
+    class-weighted CE, whose weighted-mean normalization is not
+    per-sample-separable). With the batch dim sharded over ``data`` and
+    params replicated, GSPMD inserts the psum into the cross-batch
+    reductions — the returned scalars are fully reduced (SURVEY.md §7
+    step 8; the reference validates on one GPU only,
     src/trainer/trainer.py:265-296).
     """
 
-    def eval_step(params, extra, images, labels, weights=None):
+    def eval_step(params, extra, images, labels, n_valid=None):
         variables = {"params": params, **extra}
         logits = model.apply(variables, images, train=False)
-        if weights is None:
-            loss = loss_fn(logits, labels)
+        if n_valid is not None and int(n_valid) != images.shape[0]:
+            logits_v = logits[: int(n_valid)]
+            labels_v = labels[: int(n_valid)]
         else:
-            per = jax.vmap(lambda lg, lb: loss_fn(lg[None], lb[None]))(
-                logits, labels
-            )
-            loss = jnp.sum(per * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+            logits_v, labels_v = logits, labels
+        loss = loss_fn(logits_v, labels_v)
         preds = jnp.argmax(logits, axis=-1)
-        pred_oh = jax.nn.one_hot(preds, num_classes, dtype=jnp.float32)
-        tgt_oh = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
-        axes = tuple(range(1, pred_oh.ndim - 1))
-        inter_b = jnp.sum(pred_oh * tgt_oh, axis=axes)  # [B, C]
-        pred_b = jnp.sum(pred_oh, axis=axes)
-        tgt_b = jnp.sum(tgt_oh, axis=axes)
-        if weights is not None:
-            wcol = weights[:, None]
-            inter_b, pred_b, tgt_b = inter_b * wcol, pred_b * wcol, tgt_b * wcol
-        inter = jnp.sum(inter_b, axis=0)
-        union = jnp.sum(pred_b, axis=0) + jnp.sum(tgt_b, axis=0)
+        pred_oh = jax.nn.one_hot(
+            jnp.argmax(logits_v, axis=-1), num_classes, dtype=jnp.float32
+        )
+        tgt_oh = jax.nn.one_hot(labels_v, num_classes, dtype=jnp.float32)
+        axes = tuple(range(pred_oh.ndim - 1))
+        inter = jnp.sum(pred_oh * tgt_oh, axis=axes)
+        union = jnp.sum(pred_oh, axis=axes) + jnp.sum(tgt_oh, axis=axes)
         return loss, preds, inter, union
 
-    return jax.jit(eval_step)
+    return jax.jit(eval_step, static_argnums=(4,))
 
 
 class Trainer:
@@ -487,6 +484,17 @@ class Trainer:
                 )
         # trailing partial accumulation group is dropped (the reference
         # leaves its grads un-stepped, trainer.py:245-248)
+        if count == 0 and skip_steps > 0:
+            # the step checkpoint landed on the epoch's final step: nothing
+            # left to run — report the last known train loss instead of a
+            # bogus 0.0 in the history
+            if self.logger:
+                self.logger.info(
+                    f"Epoch {self.current_epoch + 1} was already complete at "
+                    f"the resumed step checkpoint (step {skip_steps})"
+                )
+            prior = self.history.get("train_loss") or []
+            return float(prior[-1]) if prior else 0.0
         return total / max(count, 1)
 
     def _validate(self) -> Tuple[float, Dict[str, Any]]:
@@ -503,37 +511,35 @@ class Trainer:
         inter = np.zeros(self.num_classes)
         union = np.zeros(self.num_classes)
         for batch in device_prefetch(iter(self.val_loader)):
-            images = np.asarray(batch["image"])
-            labels = np.asarray(batch["label"]).astype(np.int32)
+            # batches arrive already device_put by the prefetch thread —
+            # stay on device (a host fetch here costs minutes through the
+            # axon relay and defeats the prefetch)
+            images = jnp.asarray(batch["image"])
+            labels = jnp.asarray(batch["label"]).astype(jnp.int32)
             if data_size > 1:
-                # sharded validation: zero-pad the batch to the data axis,
-                # mask padded samples, shard the batch dim — GSPMD psums
-                # the loss/∩/∪ reductions across devices
+                # sharded validation: zero-pad the batch to the data axis
+                # (device-side), shard the batch dim, and pass the valid
+                # count as a static arg — GSPMD psums the loss/∩/∪
+                # reductions across devices
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 b = images.shape[0]
                 bp = int(math.ceil(b / data_size)) * data_size
-                weights = np.zeros((bp,), np.float32)
-                weights[:b] = 1.0
                 if bp != b:
                     pad = [(0, bp - b)] + [(0, 0)] * (images.ndim - 1)
-                    images = np.pad(images, pad)
-                    labels = np.pad(labels, pad[: labels.ndim])
+                    images = jnp.pad(images, pad)
+                    labels = jnp.pad(labels, pad[: labels.ndim])
                 bspec = lambda nd: NamedSharding(
                     self.mesh, P(*(["data"] + [None] * (nd - 1)))
                 )
                 images = jax.device_put(images, bspec(images.ndim))
                 labels = jax.device_put(labels, bspec(labels.ndim))
-                wts = jax.device_put(weights, bspec(1))
                 loss, preds, i, u = self._eval_step(
-                    self.state.params, self.state.extra, images, labels, wts
+                    self.state.params, self.state.extra, images, labels, b
                 )
             else:
                 loss, preds, i, u = self._eval_step(
-                    self.state.params,
-                    self.state.extra,
-                    jnp.asarray(images),
-                    jnp.asarray(labels),
+                    self.state.params, self.state.extra, images, labels
                 )
             total += float(loss)
             count += 1

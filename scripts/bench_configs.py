@@ -30,6 +30,7 @@ CONFIGS = [
     "swin_unetr_ct_96",
     "dual_encoder_xattn_128",
     "full_pipeline_4mod",
+    "swin_unetr_xattn_flagship",  # tuned native flagship (6³ windows, /8+ fusion)
 ]
 
 
@@ -53,11 +54,15 @@ def bench_config(name, jax, jnp, n_iters=2):
     num_classes = int(cfg.get("model.out_channels", 8))
     # sw_batch capped: big-roi / many-encoder configs otherwise exceed the
     # dev box's remote-compile program-size limit (CLAUDE.md env limits) —
-    # and the 128³ roi also has HBM to respect
+    # and the 128³ roi also has HBM to respect. A config may pin its own
+    # tuned value ≥8 (e.g. the flagship's 15 divides the 45-tile grid).
+    cfg_sw = int(cfg.get("inference.batch_size", 0) or 0)
     if max(roi) > 96:
         sw_batch = 1
     elif in_ch >= 4:
         sw_batch = 8
+    elif cfg_sw >= 8:
+        sw_batch = cfg_sw
     else:
         sw_batch = SW_BATCH
 

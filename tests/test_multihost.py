@@ -93,6 +93,38 @@ class TestPolicy:
         cfg = ConfigNode({"parallel": {"multihost": "auto"}})
         assert maybe_initialize_distributed(cfg, env={}) is False
 
+    def test_auto_honors_config_coordinator(self, monkeypatch):
+        """'auto' + a coordinator configured in YAML must initialize — not
+        silently run N independent jobs."""
+        import jax
+
+        import multimodal_organ_segmentation_tpu.parallel.multihost as mh
+
+        calls = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize", lambda **kw: calls.append(kw)
+        )
+        monkeypatch.setattr(mh, "_initialized", False)
+        cfg = ConfigNode(
+            {
+                "parallel": {
+                    "multihost": "auto",
+                    "coordinator_address": "10.0.0.1:8476",
+                    "num_processes": 2,
+                    "process_id": 0,
+                }
+            }
+        )
+        assert maybe_initialize_distributed(cfg, env={}) is True
+        assert calls == [
+            {
+                "coordinator_address": "10.0.0.1:8476",
+                "num_processes": 2,
+                "process_id": 0,
+            }
+        ]
+        monkeypatch.setattr(mh, "_initialized", False)
+
 
 _WORKER = r"""
 import sys

@@ -131,6 +131,30 @@ class TestScanBlocksEquivalence:
         total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
         assert np.isfinite(total) and total > 0
 
+    def test_dropout_remat_scan_traces(self):
+        """remat + scan + dropout>0: the train flag must stay static (a
+        traced bool would crash nn.Dropout under jax.checkpoint)."""
+        model = SwinUNETR(
+            out_channels=4,
+            feature_size=FS,
+            depths=(1, 1, 1, 1),
+            num_heads=(2, 2, 4, 4),
+            window_size=WINDOW,
+            use_fused=False,
+            scan_blocks=True,
+            use_remat=True,
+            drop_rate=0.1,
+        )
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 32, 2)).astype(np.float32))
+        variables = jax.jit(lambda k: model.init(k, x, train=False))(
+            jax.random.key(0)
+        )
+        out = model.apply(
+            variables, x, train=True, rngs={"dropout": jax.random.key(1)}
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_config_plumbing(self):
         from multimodal_organ_segmentation_tpu.models.swin_unetr import (
             build_swin_unetr,

@@ -156,6 +156,48 @@ class TestRoundtripSwin:
             )
 
 
+class TestExportGuards:
+    """Configs whose weights have no reference slot must be REJECTED, not
+    silently mis-exported (mirrors the import-side guards)."""
+
+    def test_swin_native_wiring_rejected(self, tmp_path):
+        cfg = ConfigNode(
+            {
+                "model": {"name": "swin_unetr", "backbone": {"feature_size": 4}},
+                "data": {"modalities": ["CT", "PET"]},
+            }
+        )
+        with pytest.raises(ValueError, match="monai_compat"):
+            export_torch_checkpoint({"backbone": {}}, cfg, tmp_path / "x.pth")
+
+    def test_swin_scan_blocks_rejected(self, tmp_path):
+        cfg = ConfigNode(
+            {
+                "model": {
+                    "name": "swin_unetr",
+                    "backbone": {"monai_compat": True, "scan_blocks": True},
+                },
+                "data": {"modalities": ["CT"]},
+            }
+        )
+        with pytest.raises(ValueError, match="scan_blocks"):
+            export_torch_checkpoint({"backbone": {}}, cfg, tmp_path / "x.pth")
+
+    def test_dual_encoder_unmapped_fusion_rejected(self, tmp_path):
+        cfg = ConfigNode(
+            {
+                "model": {
+                    "name": "dual_encoder",
+                    "backbone": {"features": [4, 8]},
+                    "fusion": {"type": "cross_attention"},
+                },
+                "data": {"modalities": ["CT", "PET"]},
+            }
+        )
+        with pytest.raises(ValueError, match="cross_attention"):
+            export_torch_checkpoint({"backbone": {}}, cfg, tmp_path / "x.pth")
+
+
 class TestRoundtripDualEncoder:
     def test_exact_roundtrip(self, tmp_path):
         from multimodal_organ_segmentation_tpu.models.dual_encoder import DualEncoder
