@@ -6,7 +6,7 @@ too large for the axon remote compiler at micro ≥ 2. scan_blocks rolls
 each stage into one lax.scan body; this script measures whether batched
 backward now compiles, and at what ms/step and MFU.
 
-Usage: python scripts/bench_train_scan.py [micro] [scan:0|1] [accum] [fs] [roi]
+Usage: python scripts/bench_train_scan.py [micro] [scan:0|1] [accum] [fs] [roi] [window]
 """
 
 import sys
@@ -22,6 +22,7 @@ scan = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
 accum = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 fs = int(sys.argv[4]) if len(sys.argv) > 4 else 48
 roi = int(sys.argv[5]) if len(sys.argv) > 5 else 96
+window = int(sys.argv[6]) if len(sys.argv) > 6 else 7
 NUM_CLASSES = 8
 V5E_PEAK_BF16 = 197e12
 
@@ -43,13 +44,13 @@ def main():
     )
     from multimodal_organ_segmentation_tpu.utils.config import default_config
 
-    log(f"micro={micro} scan_blocks={scan} accum={accum} fs={fs} roi={roi}")
+    log(f"micro={micro} scan_blocks={scan} accum={accum} fs={fs} roi={roi} window={window}")
     model = SwinUNETR(
         out_channels=NUM_CLASSES,
         feature_size=fs,
         depths=(2, 2, 2, 2),
         num_heads=(3, 6, 12, 24),
-        window_size=(7, 7, 7),
+        window_size=(window, window, window),
         dtype=jnp.bfloat16,
         use_remat=True,
         scan_blocks=scan,
