@@ -7,7 +7,11 @@ constrain the native flagship). 6³ windows give zero padding at every
 stage of a 96³ ROI (96/2=48, /4=24, /8=12, /16=6 — all divide 6);
 fusion_stages trades the expensive /4 cross-attention for throughput.
 
-Usage: python scripts/bench_flagship.py [window] [fusion 0|1] [stages csv|-] [sw_batch]
+Usage: python scripts/bench_flagship.py [window] [fusion 0|1] [stages csv|-] [sw_batch] [overlap]
+
+overlap sets the tile stride (reference default 0.5 → 45 tiles on the
+192×192×256 bench volume; 0.25 → 36 tiles; 0.125 → 27) — the fast-serving
+trade-off: fewer tiles, less Gaussian averaging at seams.
 """
 
 import sys
@@ -24,6 +28,7 @@ stages = (
     else (0, 1, 2, 3)
 )
 sw_batch = int(sys.argv[4]) if len(sys.argv) > 4 else 15
+overlap = float(sys.argv[5]) if len(sys.argv) > 5 else 0.5
 
 VOL_SHAPE = (192, 192, 256)
 ROI = (96, 96, 96)
@@ -43,7 +48,8 @@ def main():
         sliding_window_inference,
     )
 
-    log(f"window={window} fusion={fusion} stages={stages} sw_batch={sw_batch}")
+    log(f"window={window} fusion={fusion} stages={stages} sw_batch={sw_batch} "
+        f"overlap={overlap}")
     model = SwinUNETR(
         out_channels=NUM_CLASSES,
         feature_size=48,
@@ -71,7 +77,7 @@ def main():
             predict_fn,
             roi_size=ROI,
             num_classes=NUM_CLASSES,
-            overlap=0.5,
+            overlap=overlap,
             sw_batch_size=sw_batch,
             mode="gaussian",
             params=v,
@@ -88,7 +94,8 @@ def main():
     dt = (time.perf_counter() - t0) / n
     log(
         f"RESULT window={window} fusion={int(fusion)} stages={stages} "
-        f"sw_batch={sw_batch}: {60.0 / dt:.2f} vol/min ({dt * 1e3:.0f} ms/vol)"
+        f"sw_batch={sw_batch} overlap={overlap}: "
+        f"{60.0 / dt:.2f} vol/min ({dt * 1e3:.0f} ms/vol)"
     )
 
 

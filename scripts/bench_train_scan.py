@@ -23,6 +23,7 @@ accum = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 fs = int(sys.argv[4]) if len(sys.argv) > 4 else 48
 roi = int(sys.argv[5]) if len(sys.argv) > 5 else 96
 window = int(sys.argv[6]) if len(sys.argv) > 6 else 7
+remat = bool(int(sys.argv[7])) if len(sys.argv) > 7 else True
 NUM_CLASSES = 8
 V5E_PEAK_BF16 = 197e12
 
@@ -44,7 +45,8 @@ def main():
     )
     from multimodal_organ_segmentation_tpu.utils.config import default_config
 
-    log(f"micro={micro} scan_blocks={scan} accum={accum} fs={fs} roi={roi} window={window}")
+    log(f"micro={micro} scan_blocks={scan} accum={accum} fs={fs} roi={roi} "
+        f"window={window} remat={remat}")
     model = SwinUNETR(
         out_channels=NUM_CLASSES,
         feature_size=fs,
@@ -52,7 +54,7 @@ def main():
         num_heads=(3, 6, 12, 24),
         window_size=(window, window, window),
         dtype=jnp.bfloat16,
-        use_remat=True,
+        use_remat=remat,
         scan_blocks=scan,
     )
     tx = make_optimizer(default_config())
