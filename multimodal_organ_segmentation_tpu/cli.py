@@ -32,7 +32,7 @@ def parse_args(argv=None) -> argparse.Namespace:
         "--mode", required=True,
         choices=[
             "train", "eval", "inference", "preprocess", "analysis", "explain",
-            "export",
+            "export", "serve",
         ],
     )
     parser.add_argument("--config", default=_DEFAULT_CONFIG)
@@ -72,6 +72,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--gradcam", action="store_true")
     parser.add_argument("--attention-maps", dest="attention_maps", action="store_true")
     parser.add_argument("--tsne", action="store_true")
+    parser.add_argument(
+        "--port", type=int, default=None, help="HTTP port for serve mode"
+    )
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--verbose", "-v", action="store_true")
     parser.add_argument("--debug", action="store_true")
@@ -313,6 +316,15 @@ def run_export(config, logger) -> None:
     logger.info(f"Exported torch checkpoint: {out}")
 
 
+def run_serve(config, logger) -> None:
+    """Resident HTTP segmentation service over the shape-bucketed runner
+    (the reference's only serving surface is the one-shot batch CLI,
+    src/trainer/trainer.py:303-368)."""
+    from multimodal_organ_segmentation_tpu.serving import run_serve as _serve
+
+    _serve(config, logger)
+
+
 def run_explain(config, logger) -> None:
     from multimodal_organ_segmentation_tpu.explainability import run_explainability
 
@@ -365,6 +377,7 @@ def main(argv=None) -> None:
         "analysis": run_analysis,
         "explain": run_explain,
         "export": run_export,
+        "serve": run_serve,
     }
     try:
         runners[args.mode](config, logger)

@@ -1,0 +1,9 @@
+"""Resident HTTP serving for the segmentation engine."""
+
+from multimodal_organ_segmentation_tpu.serving.server import (
+    InferenceService,
+    make_server,
+    run_serve,
+)
+
+__all__ = ["InferenceService", "make_server", "run_serve"]

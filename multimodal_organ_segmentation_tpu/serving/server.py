@@ -1,0 +1,267 @@
+"""Production serving front-end: HTTP segmentation service.
+
+The reference's only serving surface is the batch CLI (`trainer.predict`,
+/root/reference/src/trainer/trainer.py:303-368): start a process, scan a
+directory, exit — every invocation re-pays model load and (on GPU) warmup.
+This module keeps the model resident and serves requests over HTTP, the
+way a clinical PACS integration or a batch farm actually consumes a
+segmentation engine.
+
+TPU-shaped design decisions:
+
+- One ``SlidingWindowRunner`` owns all compiled programs: volumes are
+  padded to shape buckets, so a cohort of varying clinical shapes compiles
+  O(buckets) XLA programs, not O(shapes) — and ``/v1/warmup`` lets an
+  operator pre-pay those compiles before traffic arrives.
+- Device access is serialized with a lock: one chip runs one sliding-window
+  program at a time; concurrency above that belongs to the mesh (the
+  runner's tile chunks are data-parallel under ``parallel.mesh``), not to
+  racing HTTP threads. IO (NIfTI decode/encode) runs outside the lock, so
+  host IO of one request overlaps device compute of another.
+- Transport is filesystem paths in JSON, not tensor payloads: medical
+  volumes are hundreds of MB and clinical pipelines share storage; the
+  response carries metadata + the written mask path.
+
+Endpoints (JSON in/out):
+
+- ``GET  /healthz``      → {status, model, compiled_buckets, requests}
+- ``POST /v1/warmup``    {"shape": [H, W, D]} → precompile that bucket
+- ``POST /v1/segment``   {"inputs": {MOD: path, ...}, "output_dir": ...,
+                          "case_id": ...} → run + save {case}_pred.nii.gz
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+class InferenceService:
+    """Resident model + shape-bucketed sliding-window engine.
+
+    ``segment`` is thread-safe: NIfTI IO runs concurrently, device work is
+    serialized. Statistics mirror what the batch CLI logs per case.
+    """
+
+    def __init__(self, config, checkpoint_path, logger=None):
+        import jax.numpy as jnp
+
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            SlidingWindowRunner,
+        )
+        from multimodal_organ_segmentation_tpu.train.trainer import Trainer
+
+        self.config = config
+        self.logger = logger
+        trainer = Trainer(config, logger=logger)
+        roi = tuple(config.get("inference.sliding_window.roi_size", [96, 96, 96]))
+        self.modalities = list(config.get("data.modalities", ["CT", "PET"]))
+        trainer.init_state(np.zeros((*roi, len(self.modalities)), np.float32))
+        trainer.load_params(checkpoint_path)
+        self._variables = {"params": trainer.state.params, **trainer.state.extra}
+
+        sw_cfg = config.get("inference.sliding_window", {}) or {}
+        dp_mesh = None
+        if (
+            bool(config.get("inference.data_parallel", True))
+            and trainer.mesh is not None
+            and trainer.mesh.shape["data"] > 1
+        ):
+            dp_mesh = trainer.mesh
+        self.runner = SlidingWindowRunner(
+            trainer._predict_fn,
+            roi_size=roi,
+            num_classes=trainer.num_classes,
+            overlap=float(sw_cfg.get("overlap", 0.5)),
+            sw_batch_size=int(config.get("inference.batch_size", 4)),
+            mode=str(sw_cfg.get("mode", "gaussian")),
+            mesh=dp_mesh,
+        )
+        self.model_name = str(config.get("model.name", "unknown"))
+        self.normalize = bool(config.get("inference.normalize", False))
+        self._jnp = jnp
+        self._device_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
+        self.requests_served = 0
+
+    # -- operations -------------------------------------------------------
+
+    def warmup(self, shape) -> Dict[str, Any]:
+        """Precompile the bucket program covering ``shape`` (zeros input)."""
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import bucket_shape
+
+        jnp = self._jnp
+        h, w, d = (int(s) for s in shape)
+        bucket = bucket_shape((h, w, d), self.runner.roi_size, self.runner.overlap)
+        t0 = time.perf_counter()
+        vol = jnp.zeros((h, w, d, len(self.modalities)), jnp.float32)
+        with self._device_lock:
+            out = self.runner(vol, self._variables)
+            out.block_until_ready()
+        return {
+            "bucket": list(bucket),
+            "compiled_buckets": self.runner.num_compiled,
+            "warmup_s": round(time.perf_counter() - t0, 3),
+        }
+
+    def segment(
+        self,
+        inputs: Dict[str, str],
+        output_dir: Optional[str] = None,
+        case_id: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        """Segment one case given ``{modality: nifti_path}``."""
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import bucket_shape
+        from multimodal_organ_segmentation_tpu.utils.io import load_nifti, save_nifti
+
+        jnp = self._jnp
+        missing = [m for m in self.modalities if m not in inputs]
+        if missing:
+            raise ValueError(f"missing modalities {missing}; need {self.modalities}")
+
+        t0 = time.perf_counter()
+        channels, affine = [], None
+        for mod in self.modalities:
+            vol, aff = load_nifti(inputs[mod], return_affine=True)
+            channels.append(np.asarray(vol, dtype=np.float32))
+            if affine is None:
+                affine = aff
+        image = jnp.asarray(np.stack(channels, axis=-1))
+        if self.normalize:
+            from multimodal_organ_segmentation_tpu.data.transforms import (
+                modality_normalize,
+            )
+
+            pc = self.config.get("data.preprocessing", {}) or {}
+            pc = pc.to_dict() if hasattr(pc, "to_dict") else dict(pc)
+            image = modality_normalize(image, self.modalities, pc)
+        t_io = time.perf_counter()
+
+        with self._device_lock:
+            logits = self.runner(image, self._variables)
+            pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
+        t_dev = time.perf_counter()
+
+        result: Dict[str, Any] = {
+            "case_id": case_id,
+            "shape": list(image.shape[:3]),
+            "bucket": list(
+                bucket_shape(
+                    tuple(image.shape[:3]), self.runner.roi_size, self.runner.overlap
+                )
+            ),
+            "compiled_buckets": self.runner.num_compiled,
+            "class_voxels": {
+                int(c): int(n)
+                for c, n in zip(*(a.tolist() for a in np.unique(pred, return_counts=True)))
+            },
+            "load_s": round(t_io - t0, 3),
+            "device_s": round(t_dev - t_io, 3),
+        }
+        if output_dir is not None:
+            out_dir = Path(output_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            name = case_id or Path(next(iter(inputs.values()))).stem.split(".")[0]
+            out_file = out_dir / f"{name}_pred.nii.gz"
+            save_nifti(pred, out_file, affine=affine)
+            result["output"] = str(out_file)
+        result["total_s"] = round(time.perf_counter() - t0, 3)
+        with self._stats_lock:
+            self.requests_served += 1
+        if self.logger:
+            self.logger.info(f"served case={case_id} {result['shape']} "
+                             f"in {result['total_s']}s")
+        return result
+
+    def health(self) -> Dict[str, Any]:
+        return {
+            "status": "ok",
+            "model": self.model_name,
+            "modalities": self.modalities,
+            "roi_size": list(self.runner.roi_size),
+            "overlap": self.runner.overlap,
+            "compiled_buckets": self.runner.num_compiled,
+            "requests": self.requests_served,
+        }
+
+
+def make_server(service: InferenceService, host: str = "127.0.0.1", port: int = 8080):
+    """Build (not start) a ``ThreadingHTTPServer`` around ``service``."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through our logger
+            if service.logger:
+                service.logger.debug("http: " + fmt % args)
+
+        def _reply(self, code: int, payload: Dict[str, Any]):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, service.health())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"bad request body: {e}"})
+                return
+            try:
+                if self.path == "/v1/segment":
+                    self._reply(
+                        200,
+                        service.segment(
+                            req.get("inputs", {}),
+                            output_dir=req.get("output_dir"),
+                            case_id=req.get("case_id"),
+                        ),
+                    )
+                elif self.path == "/v1/warmup":
+                    self._reply(200, service.warmup(req.get("shape", [96, 96, 96])))
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+            except (ValueError, FileNotFoundError) as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # keep the server alive on internal errors
+                if service.logger:
+                    service.logger.error(f"serve error: {e}", exc_info=True)
+                self._reply(500, {"error": str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def run_serve(config, logger) -> None:
+    """CLI glue for ``--mode serve``."""
+    ckpt = config["_args"].get("checkpoint")
+    if ckpt is None:
+        raise ValueError("--checkpoint is required for serve mode")
+    host = str(config.get("serving.host", "127.0.0.1"))
+    port = int(config["_args"].get("port") or config.get("serving.port", 8080))
+    service = InferenceService(config, ckpt, logger=logger)
+    for shape in config.get("serving.warmup_shapes", []) or []:
+        info = service.warmup(shape)
+        logger.info(f"warmup {list(shape)} → bucket {info['bucket']} "
+                    f"({info['warmup_s']}s)")
+    server = make_server(service, host, port)
+    logger.info(f"serving {service.model_name} on http://{host}:{port} "
+                f"(endpoints: /healthz, /v1/warmup, /v1/segment)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()

@@ -708,72 +708,108 @@ class Trainer:
                 mesh=dp_mesh,
             )
 
-        written = []
-        for case, mods in cases.items():
+        # IO/compute overlap: a loader thread decodes the NEXT case's NIfTIs
+        # while the device runs the current one, and a writer thread gzips
+        # masks behind the device loop (host IO is seconds per clinical
+        # volume — serial it would sit between every device dispatch)
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        modalities = list(self.config.get("data.modalities", ["CT", "PET"]))
+
+        def _load_case(case, mods):
             channels, affine = [], None
-            for mod in self.config.get("data.modalities", ["CT", "PET"]):
+            for mod in modalities:
                 vol, aff = load_nifti(mods[mod], return_affine=True)
                 channels.append(vol.astype(np.float32))
                 if affine is None:
                     affine = aff
-            image = jnp.asarray(np.stack(channels, axis=-1))
+            return case, np.stack(channels, axis=-1), affine
 
-            if bool(self.config.get("inference.normalize", False)):
-                from multimodal_organ_segmentation_tpu.data.transforms import (
-                    modality_normalize,
-                )
+        prefetch = max(1, int(self.config.get("hardware.prefetch_depth", 2)))
+        loader = ThreadPoolExecutor(max_workers=1, thread_name_prefix="sw-load")
+        writer = ThreadPoolExecutor(max_workers=1, thread_name_prefix="sw-write")
+        case_iter = iter(cases.items())
+        pending = deque(
+            loader.submit(_load_case, c, m)
+            for c, m in list(cases.items())[:prefetch]
+        )
+        for _ in range(prefetch):
+            next(case_iter, None)
 
-                pc = self.config.get("data.preprocessing", {}) or {}
-                pc = pc.to_dict() if hasattr(pc, "to_dict") else dict(pc)
-                image = modality_normalize(
-                    image, list(self.config.get("data.modalities")), pc
-                )
+        if runner is not None:
+            run_sw = lambda vol: runner(vol, variables)
+        elif dp_mesh is not None:
+            from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+                sharded_sliding_window_inference,
+            )
 
-            if runner is not None:
-                run_sw = lambda vol: runner(vol, variables)
-            elif dp_mesh is not None:
-                from multimodal_organ_segmentation_tpu.ops.sliding_window import (
-                    sharded_sliding_window_inference,
-                )
+            run_sw = lambda vol: sharded_sliding_window_inference(
+                vol,
+                predict_fn,
+                roi_size=roi,
+                num_classes=self.num_classes,
+                mesh=dp_mesh,
+                overlap=overlap,
+                sw_batch_size=sw_batch,
+                mode=mode,
+                params=variables,
+            )
+        else:
 
-                run_sw = lambda vol: sharded_sliding_window_inference(
+            def run_sw(vol):
+                return sliding_window_inference(
                     vol,
                     predict_fn,
                     roi_size=roi,
                     num_classes=self.num_classes,
-                    mesh=dp_mesh,
                     overlap=overlap,
                     sw_batch_size=sw_batch,
                     mode=mode,
                     params=variables,
                 )
-            else:
 
-                def run_sw(vol):
-                    return sliding_window_inference(
-                        vol,
-                        predict_fn,
-                        roi_size=roi,
-                        num_classes=self.num_classes,
-                        overlap=overlap,
-                        sw_batch_size=sw_batch,
-                        mode=mode,
-                        params=variables,
-                    )
+        normalize = bool(self.config.get("inference.normalize", False))
+        if normalize:
+            from multimodal_organ_segmentation_tpu.data.transforms import (
+                modality_normalize,
+            )
 
-            logits = run_sw(image)
-            if tta:
-                # flip TTA (reference declares inference.tta but never
-                # implements it): average logits over the 3 single-axis
-                # spatial flips, un-flipping each prediction
-                for axis in range(3):
-                    flipped = jnp.flip(image, axis=axis)
-                    logits = logits + jnp.flip(run_sw(flipped), axis=axis)
-                logits = logits / 4.0
-            pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
-            out_file = Path(output_path) / f"{case}_pred.nii.gz"
-            save_nifti(pred, out_file, affine=affine)
-            written.append(str(out_file))
-            if self.logger:
-                self.logger.info(f"Saved {out_file}")
+            pc = self.config.get("data.preprocessing", {}) or {}
+            pc = pc.to_dict() if hasattr(pc, "to_dict") else dict(pc)
+
+        written = []
+        write_futures = []
+        try:
+            while pending:
+                case, image_np, affine = pending.popleft().result()
+                nxt = next(case_iter, None)
+                if nxt is not None:
+                    pending.append(loader.submit(_load_case, *nxt))
+                image = jnp.asarray(image_np)
+                if normalize:
+                    image = modality_normalize(image, modalities, pc)
+
+                logits = run_sw(image)
+                if tta:
+                    # flip TTA (reference declares inference.tta but never
+                    # implements it): average logits over the 3 single-axis
+                    # spatial flips, un-flipping each prediction
+                    for axis in range(3):
+                        flipped = jnp.flip(image, axis=axis)
+                        logits = logits + jnp.flip(run_sw(flipped), axis=axis)
+                    logits = logits / 4.0
+                pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
+                out_file = Path(output_path) / f"{case}_pred.nii.gz"
+                write_futures.append(
+                    writer.submit(save_nifti, pred, out_file, affine=affine)
+                )
+                written.append(str(out_file))
+                if self.logger:
+                    self.logger.info(f"Saved {out_file}")
+            for f in write_futures:
+                f.result()  # surface write errors; all masks on disk past here
+        finally:
+            loader.shutdown(wait=True, cancel_futures=True)
+            writer.shutdown(wait=True)
         return written

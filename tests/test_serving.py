@@ -1,0 +1,134 @@
+"""Serving front-end: resident InferenceService + HTTP server.
+
+The reference has no serving surface beyond the one-shot batch CLI
+(src/trainer/trainer.py:303-368); this subsystem keeps the model resident
+behind HTTP with shape-bucketed compiles (--mode serve).
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from multimodal_organ_segmentation_tpu import cli
+from multimodal_organ_segmentation_tpu.data.synthetic import generate_synthetic_dataset
+from multimodal_organ_segmentation_tpu.serving import InferenceService, make_server
+from multimodal_organ_segmentation_tpu.utils.config import load_config
+from multimodal_organ_segmentation_tpu.utils.io import load_nifti
+
+CONFIG = str(Path(__file__).resolve().parents[1] / "configs" / "tiny_cpu.yaml")
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    """Train a tiny checkpoint, return (config, ckpt_path, case_inputs)."""
+    workdir = tmp_path_factory.mktemp("serving")
+    generate_synthetic_dataset(
+        workdir / "data", n_train=4, n_val=2, n_test=1,
+        shape=(32, 32, 32), num_classes=4, seed=0,
+    )
+    cfg = load_config(CONFIG).to_dict()
+    cfg["data"]["data_root"] = str(workdir / "data")
+    cfg["experiment"]["output_dir"] = str(workdir / "outputs")
+    cfg["experiment"]["log_dir"] = str(workdir / "logs")
+    cfg_path = workdir / "cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    cli.main(["--mode", "train", "--config", str(cfg_path),
+              "--device", "cpu", "--epochs", "1"])
+    ckpt = workdir / "outputs" / "tiny_cpu" / "best"
+    assert (ckpt / "meta.json").exists()
+
+    case_dir = workdir / "data" / "test" / "test_000"
+    inputs = {"CT": str(case_dir / "ct.nii.gz"),
+              "PET": str(case_dir / "pet.nii.gz")}
+    config = load_config(cfg_path)
+    config["_args"] = {}
+    return config, str(ckpt), inputs, workdir
+
+
+class TestInferenceService:
+    def test_segment_writes_mask(self, served):
+        config, ckpt, inputs, workdir = served
+        svc = InferenceService(config, ckpt)
+        out_dir = workdir / "preds"
+        res = svc.segment(inputs, output_dir=str(out_dir), case_id="caseA")
+        assert res["shape"] == [32, 32, 32]
+        assert res["compiled_buckets"] == 1
+        assert sum(res["class_voxels"].values()) == 32 * 32 * 32
+        pred = load_nifti(res["output"])
+        assert pred.shape == (32, 32, 32)
+        assert np.asarray(pred).max() <= 3
+
+        # same-bucket second case: no new compile
+        res2 = svc.segment(inputs, output_dir=str(out_dir), case_id="caseB")
+        assert res2["compiled_buckets"] == 1
+        assert (out_dir / "caseB_pred.nii.gz").exists()
+
+    def test_missing_modality_raises(self, served):
+        config, ckpt, inputs, _ = served
+        svc = InferenceService(config, ckpt)
+        with pytest.raises(ValueError, match="missing modalities"):
+            svc.segment({"CT": inputs["CT"]})
+
+
+class TestHTTPServer:
+    @pytest.fixture(scope="class")
+    def server(self, served):
+        config, ckpt, inputs, workdir = served
+        svc = InferenceService(config, ckpt)
+        httpd = make_server(svc, host="127.0.0.1", port=0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        yield base, inputs, workdir
+        httpd.shutdown()
+        httpd.server_close()
+
+    def _post(self, url, payload):
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    def test_healthz(self, server):
+        base, _, _ = server
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["model"] == "unet3d"
+        assert health["roi_size"] == [32, 32, 32]
+
+    def test_warmup_then_segment(self, server):
+        base, inputs, workdir = server
+        warm = self._post(base + "/v1/warmup", {"shape": [32, 32, 32]})
+        assert warm["compiled_buckets"] >= 1
+
+        res = self._post(base + "/v1/segment", {
+            "inputs": inputs,
+            "output_dir": str(workdir / "http_preds"),
+            "case_id": "http1",
+        })
+        assert res["output"].endswith("http1_pred.nii.gz")
+        assert Path(res["output"]).exists()
+        # warmed bucket reused — no extra compile for the real request
+        assert res["compiled_buckets"] == warm["compiled_buckets"]
+
+    def test_bad_request_is_400_and_server_survives(self, server):
+        base, inputs, workdir = server
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(base + "/v1/segment", {"inputs": {"CT": "/nope.nii.gz"}})
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(base + "/v1/nothere", {})
+        assert ei.value.code == 404
+        # server still serves after errors
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
