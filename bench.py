@@ -83,7 +83,18 @@ def _bench_sliding_window(jax, jnp, model, volume, n_iters=3):
     for _ in range(n_iters):
         float(run(variables, volume))
     dt = (time.perf_counter() - t0) / n_iters
-    return 60.0 / dt
+
+    flops = None
+    try:
+        # second compile is a cache hit; cost_analysis gives program FLOPs
+        cost = run.lower(variables, volume).compile().cost_analysis()
+        ca = cost[0] if isinstance(cost, (list, tuple)) else cost
+        if ca:
+            flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    mfu = (flops / dt / V5E_PEAK_BF16) if flops else None
+    return 60.0 / dt, mfu
 
 
 def _bench_train_step(jax, jnp, n_iters=5):
@@ -179,17 +190,18 @@ def main():
     # (the /4 stage holds 13824 tokens and costs ~6% for little fusion
     # bandwidth; measured A/B r3: 6³ all-stages 41.1, 6³ /8+ 43.6,
     # 7³ all-stages 37.7 vol/min)
-    native_vpm = _bench_sliding_window(
+    native_vpm, native_mfu = _bench_sliding_window(
         jax,
         jnp,
         _make_model(jnp, "cross_attention", window=6, fusion_stages=(1, 2, 3)),
         volume,
     )
     print(f"# native flagship (6^3, xattn /8+): {native_vpm:.2f} vol/min "
-          f"({time.time()-t_start:.0f}s)", file=sys.stderr, flush=True)
+          f"mfu={native_mfu} ({time.time()-t_start:.0f}s)",
+          file=sys.stderr, flush=True)
     # reference-envelope config (7³ windows, fusion at every stage) for
     # round-over-round continuity
-    xattn_vpm = _bench_sliding_window(
+    xattn_vpm, _ = _bench_sliding_window(
         jax, jnp, _make_model(jnp, "cross_attention"), volume
     )
     print(f"# xattn 7^3 ref-envelope: {xattn_vpm:.2f} vol/min ({time.time()-t_start:.0f}s)",
@@ -208,6 +220,7 @@ def main():
         "unit": "volumes/min/chip",
         "vs_baseline": round(native_vpm / 10.0, 3),
         "extra": {
+            "inference_mfu": round(native_mfu, 4) if native_mfu else None,
             "xattn_7x7_ref_envelope_vol_per_min": round(xattn_vpm, 3),
             "train_step_ms_96c_fs48_bf16_remat_micro1": round(train_ms, 1),
             "train_mfu": round(train_mfu, 4) if train_mfu else None,

@@ -28,8 +28,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 OVERLAPS = (0.5, 0.25, 0.125)
-ROI = (24, 24, 24)
-VOL_SHAPE = (48, 48, 64)
+ROI = (16, 16, 16)
+VOL_SHAPE = (32, 32, 48)
 NUM_CLASSES = 4
 
 
@@ -86,7 +86,7 @@ def main():
             # train on the NATIVE grid (img_size == data shape → resize is a
             # no-op) with enough capacity to escape the all-background
             # optimum of reference-parity dice_ce (foreground ≈ 3% of
-            # voxels); the fully-convolutional net then serves 24³ ROIs
+            # voxels); the fully-convolutional net then serves ROI-sized tiles
             "backbone": {"features": [16, 32], "img_size": list(VOL_SHAPE),
                          "norm": "instance"},
             "fusion": {"type": "early"},
@@ -114,7 +114,11 @@ def main():
         val_loader=get_dataloader(cfg, split="val"),
     )
     hist = trainer.train()
-    log(f"trained: val_dice={hist['val_dice'][-1]:.4f}")
+    log("val_dice trajectory: "
+        + " ".join(f"{d:.3f}" for d in hist["val_dice"]))
+    if hist["val_dice"][-1] < 0.2:
+        log("WARNING: fixture model barely learned; Dice deltas below are "
+            "still comparable across overlaps but small in absolute terms")
 
     model = build_model(cfg)
     variables = {"params": trainer.state.params}

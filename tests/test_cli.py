@@ -16,7 +16,8 @@ class TestParseArgs:
         assert args.config.endswith("default.yaml")
 
     def test_all_modes(self):
-        for mode in ["train", "eval", "inference", "preprocess", "analysis", "explain"]:
+        for mode in ["train", "eval", "inference", "preprocess", "analysis",
+                     "explain", "export", "serve"]:
             assert parse_args(["--mode", mode]).mode == mode
 
     def test_invalid_mode(self):
