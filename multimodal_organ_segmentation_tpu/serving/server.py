@@ -59,6 +59,10 @@ class InferenceService:
 
         self.config = config
         self.logger = logger
+        # the checkpoint is self-sufficient; a stale model.pretrained path
+        # from the training config may not exist on the serving machine
+        # (same rule as run_eval / run_export)
+        config.set("model.pretrained", None)
         trainer = Trainer(config, logger=logger)
         roi = tuple(config.get("inference.sliding_window.roi_size", [96, 96, 96]))
         self.modalities = list(config.get("data.modalities", ["CT", "PET"]))
@@ -85,6 +89,7 @@ class InferenceService:
         )
         self.model_name = str(config.get("model.name", "unknown"))
         self.normalize = bool(config.get("inference.normalize", False))
+        self.tta = bool(config.get("inference.tta", False))
         self._jnp = jnp
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
@@ -145,6 +150,15 @@ class InferenceService:
 
         with self._device_lock:
             logits = self.runner(image, self._variables)
+            if self.tta:
+                # same flip TTA as the batch CLI (Trainer.predict): average
+                # logits over the 3 single-axis flips, un-flipping each
+                for axis in range(3):
+                    flipped = jnp.flip(image, axis=axis)
+                    logits = logits + jnp.flip(
+                        self.runner(flipped, self._variables), axis=axis
+                    )
+                logits = logits / 4.0
             pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
         t_dev = time.perf_counter()
 
@@ -219,6 +233,9 @@ def make_server(service: InferenceService, host: str = "127.0.0.1", port: int = 
                 req = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": f"bad request body: {e}"})
+                return
+            if not isinstance(req, dict):
+                self._reply(400, {"error": "request body must be a JSON object"})
                 return
             try:
                 if self.path == "/v1/segment":

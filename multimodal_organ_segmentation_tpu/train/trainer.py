@@ -801,12 +801,18 @@ class Trainer:
                     logits = logits / 4.0
                 pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
                 out_file = Path(output_path) / f"{case}_pred.nii.gz"
-                write_futures.append(
-                    writer.submit(save_nifti, pred, out_file, affine=affine)
-                )
+
+                def _write(pred=pred, out_file=out_file, affine=affine):
+                    save_nifti(pred, out_file, affine=affine)
+                    if self.logger:
+                        self.logger.info(f"Saved {out_file}")
+
+                # bound the backlog: a disk slower than the device would
+                # otherwise queue every pending uint8 mask in RAM
+                if len(write_futures) >= 2:
+                    write_futures.pop(0).result()
+                write_futures.append(writer.submit(_write))
                 written.append(str(out_file))
-                if self.logger:
-                    self.logger.info(f"Saved {out_file}")
             for f in write_futures:
                 f.result()  # surface write errors; all masks on disk past here
         finally:

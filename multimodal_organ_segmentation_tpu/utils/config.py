@@ -179,5 +179,6 @@ def merge_config_with_args(config: ConfigNode, args) -> ConfigNode:
         "verbose": getattr(args, "verbose", False),
         "debug": getattr(args, "debug", False),
         "generate_report": getattr(args, "generate_report", False),
+        "port": getattr(args, "port", None),
     }
     return config

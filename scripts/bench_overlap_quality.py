@@ -9,11 +9,13 @@ throughput probes). The reference default (and parity bar) is 0.5
 framework's documented "fast" profile — this script measures what they
 cost in Dice.
 
-Protocol: train a tiny UNet3D on synthetic multi-organ volumes (resized
-24³ training pipeline, the reference's own scheme), then sliding-window
-segment held-out 48×48×64 native-grid volumes with ROI 24³ at each
-overlap and score mean foreground Dice vs ground truth + voxel agreement
-vs the overlap-0.5 output.
+Protocol: train a tiny UNet3D on synthetic multi-organ volumes on their
+native 32×32×48 grid (img_size == data shape, so the reference's
+always-resize is a no-op), then sliding-window segment held-out volumes
+with ROI 16³ at each overlap and score mean foreground Dice vs ground
+truth + voxel agreement vs the overlap-0.5 output. The ROI:volume ratio
+(16³ over 32×32×48) mirrors the production geometry (96³ over clinical
+grids): every voxel is covered by multiple tiles at overlap 0.5.
 
 Usage: JAX_PLATFORMS=cpu python scripts/bench_overlap_quality.py
 """

@@ -6,7 +6,7 @@ too large for the axon remote compiler at micro ≥ 2. scan_blocks rolls
 each stage into one lax.scan body; this script measures whether batched
 backward now compiles, and at what ms/step and MFU.
 
-Usage: python scripts/bench_train_scan.py [micro] [scan:0|1] [accum] [fs] [roi] [window]
+Usage: python scripts/bench_train_scan.py [micro] [scan:0|1] [accum] [fs] [roi] [window] [remat:0|1]
 """
 
 import sys

@@ -43,6 +43,12 @@ class TestParseArgs:
         assert cfg.experiment.name == "e1"
         assert cfg.experiment.seed == 7
 
+    def test_port_reaches_args_stash(self):
+        # serve mode reads the port from config["_args"] (serving/server.py)
+        args = parse_args(["--mode", "serve", "--port", "9000"])
+        cfg = merge_config_with_args(default_config(), args)
+        assert cfg["_args"]["port"] == 9000
+
     def test_invalid_model_choice(self):
         with pytest.raises(SystemExit):
             parse_args(["--mode", "train", "--model", "resnet"])

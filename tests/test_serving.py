@@ -129,6 +129,10 @@ class TestHTTPServer:
         with pytest.raises(urllib.error.HTTPError) as ei:
             self._post(base + "/v1/nothere", {})
         assert ei.value.code == 404
+        # valid JSON that is not an object is a client error, not a 500
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(base + "/v1/segment", [1, 2, 3])
+        assert ei.value.code == 400
         # server still serves after errors
         with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
             assert json.loads(r.read())["status"] == "ok"
