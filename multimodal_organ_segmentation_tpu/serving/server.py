@@ -42,6 +42,18 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
+class RequestError(ValueError):
+    """Client-side fault (bad paths, missing modalities, malformed volume).
+
+    The HTTP layer maps this (and ``FileNotFoundError``) to 400; every other
+    exception is a genuine server fault and surfaces as a logged 500.
+    """
+
+
+class ServiceBusyError(RuntimeError):
+    """Admission control rejected the request; maps to HTTP 503."""
+
+
 class InferenceService:
     """Resident model + shape-bucketed sliding-window engine.
 
@@ -83,7 +95,7 @@ class InferenceService:
             roi_size=roi,
             num_classes=trainer.num_classes,
             overlap=float(sw_cfg.get("overlap", 0.5)),
-            sw_batch_size=int(config.get("inference.batch_size", 4)),
+            sw_batch_size=config.get("inference.batch_size", 4),
             mode=str(sw_cfg.get("mode", "gaussian")),
             mesh=dp_mesh,
         )
@@ -94,6 +106,12 @@ class InferenceService:
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.requests_served = 0
+        # admission control: each in-flight request holds a decoded clinical
+        # volume (hundreds of MB) in host RAM while queued on the device
+        # lock; bound that, and shed the rest with 503 instead of OOMing the
+        # long-lived process (and losing every warmed bucket compile)
+        self.max_in_flight = max(1, int(config.get("serving.max_in_flight", 4)))
+        self._admission = threading.BoundedSemaphore(self.max_in_flight)
 
     # -- operations -------------------------------------------------------
 
@@ -102,7 +120,10 @@ class InferenceService:
         from multimodal_organ_segmentation_tpu.ops.sliding_window import bucket_shape
 
         jnp = self._jnp
-        h, w, d = (int(s) for s in shape)
+        try:
+            h, w, d = (int(s) for s in shape)
+        except (TypeError, ValueError) as e:
+            raise RequestError(f"shape must be 3 ints, got {shape!r}") from e
         bucket = bucket_shape((h, w, d), self.runner.roi_size, self.runner.overlap)
         t0 = time.perf_counter()
         vol = jnp.zeros((h, w, d, len(self.modalities)), jnp.float32)
@@ -125,19 +146,36 @@ class InferenceService:
         from multimodal_organ_segmentation_tpu.ops.sliding_window import bucket_shape
         from multimodal_organ_segmentation_tpu.utils.io import load_nifti, save_nifti
 
+        if not self._admission.acquire(blocking=False):
+            raise ServiceBusyError(
+                f"{self.max_in_flight} requests already in flight; retry later"
+            )
+        try:
+            return self._segment(inputs, output_dir, case_id,
+                                 bucket_shape, load_nifti, save_nifti)
+        finally:
+            self._admission.release()
+
+    def _segment(self, inputs, output_dir, case_id,
+                 bucket_shape, load_nifti, save_nifti) -> Dict[str, Any]:
         jnp = self._jnp
         missing = [m for m in self.modalities if m not in inputs]
         if missing:
-            raise ValueError(f"missing modalities {missing}; need {self.modalities}")
+            raise RequestError(f"missing modalities {missing}; need {self.modalities}")
 
         t0 = time.perf_counter()
         channels, affine = [], None
-        for mod in self.modalities:
-            vol, aff = load_nifti(inputs[mod], return_affine=True)
-            channels.append(np.asarray(vol, dtype=np.float32))
-            if affine is None:
-                affine = aff
-        image = jnp.asarray(np.stack(channels, axis=-1))
+        try:
+            for mod in self.modalities:
+                vol, aff = load_nifti(inputs[mod], return_affine=True)
+                channels.append(np.asarray(vol, dtype=np.float32))
+                if affine is None:
+                    affine = aff
+            image = jnp.asarray(np.stack(channels, axis=-1))
+        except (ValueError, OSError) as e:
+            # garbage/mismatched/corrupt client volumes, not our bug
+            # (gzip.BadGzipFile is an OSError)
+            raise RequestError(f"cannot assemble input volume: {e}") from e
         if self.normalize:
             from multimodal_organ_segmentation_tpu.data.transforms import (
                 modality_normalize,
@@ -251,8 +289,10 @@ def make_server(service: InferenceService, host: str = "127.0.0.1", port: int = 
                     self._reply(200, service.warmup(req.get("shape", [96, 96, 96])))
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
-            except (ValueError, FileNotFoundError) as e:
+            except (RequestError, FileNotFoundError) as e:
                 self._reply(400, {"error": str(e)})
+            except ServiceBusyError as e:
+                self._reply(503, {"error": str(e)})
             except Exception as e:  # keep the server alive on internal errors
                 if service.logger:
                     service.logger.error(f"serve error: {e}", exc_info=True)
@@ -267,7 +307,8 @@ def run_serve(config, logger) -> None:
     if ckpt is None:
         raise ValueError("--checkpoint is required for serve mode")
     host = str(config.get("serving.host", "127.0.0.1"))
-    port = int(config["_args"].get("port") or config.get("serving.port", 8080))
+    p = config["_args"].get("port")  # 0 is valid: OS-assigned free port
+    port = int(p) if p is not None else int(config.get("serving.port", 8080))
     service = InferenceService(config, ckpt, logger=logger)
     for shape in config.get("serving.warmup_shapes", []) or []:
         info = service.warmup(shape)

@@ -589,7 +589,8 @@ class Trainer:
         roi = tuple(sw_cfg.get("roi_size", [96, 96, 96]))
         overlap = float(sw_cfg.get("overlap", 0.5))
         mode = str(sw_cfg.get("mode", "gaussian"))
-        sw_batch = int(self.config.get("inference.batch_size", 4))
+        # int or "auto"/"auto:N" — the runner resolves auto per bucket
+        sw_batch = self.config.get("inference.batch_size", 4)
         dp_mesh = None
         if (
             bool(self.config.get("inference.data_parallel", True))
@@ -669,7 +670,8 @@ class Trainer:
         roi = tuple(sw_cfg.get("roi_size", [96, 96, 96]))
         overlap = float(sw_cfg.get("overlap", 0.5))
         mode = str(sw_cfg.get("mode", "gaussian"))
-        sw_batch = int(self.config.get("inference.batch_size", 4))
+        # int or "auto"/"auto:N" (divisor search over the tile count)
+        sw_batch = self.config.get("inference.batch_size", 4)
         tta = bool(self.config.get("inference.tta", False))
 
         cases = self._discover_cases(input_path)
@@ -726,21 +728,24 @@ class Trainer:
                     affine = aff
             return case, np.stack(channels, axis=-1), affine
 
+        import itertools
+
         prefetch = max(1, int(self.config.get("hardware.prefetch_depth", 2)))
         loader = ThreadPoolExecutor(max_workers=1, thread_name_prefix="sw-load")
         writer = ThreadPoolExecutor(max_workers=1, thread_name_prefix="sw-write")
         case_iter = iter(cases.items())
+        # prime from the SAME iterator the loop advances, so the split
+        # between primed and streamed cases is structural
         pending = deque(
             loader.submit(_load_case, c, m)
-            for c, m in list(cases.items())[:prefetch]
+            for c, m in itertools.islice(case_iter, prefetch)
         )
-        for _ in range(prefetch):
-            next(case_iter, None)
 
         if runner is not None:
             run_sw = lambda vol: runner(vol, variables)
         elif dp_mesh is not None:
             from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+                resolve_sw_batch,
                 sharded_sliding_window_inference,
             )
 
@@ -751,11 +756,16 @@ class Trainer:
                 num_classes=self.num_classes,
                 mesh=dp_mesh,
                 overlap=overlap,
-                sw_batch_size=sw_batch,
+                sw_batch_size=resolve_sw_batch(
+                    sw_batch, tuple(vol.shape[:3]), roi, overlap
+                ),
                 mode=mode,
                 params=variables,
             )
         else:
+            from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+                resolve_sw_batch,
+            )
 
             def run_sw(vol):
                 return sliding_window_inference(
@@ -764,7 +774,9 @@ class Trainer:
                     roi_size=roi,
                     num_classes=self.num_classes,
                     overlap=overlap,
-                    sw_batch_size=sw_batch,
+                    sw_batch_size=resolve_sw_batch(
+                        sw_batch, tuple(vol.shape[:3]), roi, overlap
+                    ),
                     mode=mode,
                     params=variables,
                 )

@@ -231,6 +231,61 @@ class TestSlidingWindowRunner:
         assert runner.num_compiled == 2
 
 
+class TestAutoSwBatch:
+    """Divisor-search chunk sizing: minimal padded slots, then largest chunk."""
+
+    def test_policy(self):
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            auto_sw_batch_size,
+        )
+
+        # the flagship case: 45 tiles, cap 16 → 15 (0 padded beats 3 padded)
+        assert auto_sw_batch_size(45, 16) == 15
+        # 36 tiles: 12 divides exactly within the slack window
+        assert auto_sw_batch_size(36, 16) == 12
+        # exact fit keeps the cap
+        assert auto_sw_batch_size(48, 16) == 16
+        # fewer tiles than the cap: no waste possible below n, keep... the
+        # search clamps to n via ceil math (waste 0 at sw=n)
+        assert auto_sw_batch_size(5, 8) == 5
+        # nothing divides: least-waste candidate wins (27 → 14: 1 padded)
+        assert auto_sw_batch_size(27, 16) == 14
+
+    def test_resolve(self):
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            resolve_sw_batch,
+            tile_count,
+        )
+
+        roi, ov = (96, 96, 96), 0.5
+        assert tile_count((192, 192, 256), roi, ov) == 45
+        assert resolve_sw_batch("auto", (192, 192, 256), roi, ov) == 15
+        assert resolve_sw_batch("auto:8", (192, 192, 256), roi, ov) == 5
+        assert resolve_sw_batch(7, (192, 192, 256), roi, ov) == 7
+        assert resolve_sw_batch(None, (192, 192, 256), roi, ov, default=4) == 4
+
+    def test_runner_accepts_auto(self):
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            SlidingWindowRunner,
+        )
+
+        rng = np.random.default_rng(11)
+        w = jnp.asarray(rng.normal(size=(1, 3)).astype(np.float32))
+        prm = {"w": w}
+        predict = lambda p, x: jnp.tanh(jnp.einsum("nhwdc,ck->nhwdk", x, p["w"]))
+        runner = SlidingWindowRunner(
+            predict, roi_size=(16, 16, 16), num_classes=3, overlap=0.5,
+            sw_batch_size="auto:4",
+        )
+        vol = jnp.asarray(rng.normal(size=(24, 24, 24, 1)).astype(np.float32))
+        out = runner(vol, prm)  # 27 tiles → sw 3 wastes 0 within auto:4
+        ref = sliding_window_inference(
+            vol, lambda x: predict(prm, x), roi_size=(16, 16, 16),
+            num_classes=3, overlap=0.5, sw_batch_size=3,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 class TestSlidingWindowBatchInvariance:
     def test_output_independent_of_sw_batch(self):
         """Blended logits must be identical for any sw_batch_size, even when

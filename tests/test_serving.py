@@ -17,7 +17,12 @@ import yaml
 
 from multimodal_organ_segmentation_tpu import cli
 from multimodal_organ_segmentation_tpu.data.synthetic import generate_synthetic_dataset
-from multimodal_organ_segmentation_tpu.serving import InferenceService, make_server
+from multimodal_organ_segmentation_tpu.serving import (
+    InferenceService,
+    RequestError,
+    ServiceBusyError,
+    make_server,
+)
 from multimodal_organ_segmentation_tpu.utils.config import load_config
 from multimodal_organ_segmentation_tpu.utils.io import load_nifti
 
@@ -73,8 +78,30 @@ class TestInferenceService:
     def test_missing_modality_raises(self, served):
         config, ckpt, inputs, _ = served
         svc = InferenceService(config, ckpt)
-        with pytest.raises(ValueError, match="missing modalities"):
+        # RequestError (a ValueError) marks client faults for the 400 path
+        with pytest.raises(RequestError, match="missing modalities"):
             svc.segment({"CT": inputs["CT"]})
+
+    def test_garbage_volume_is_request_error(self, served, tmp_path):
+        config, ckpt, inputs, _ = served
+        bad = tmp_path / "garbage.nii.gz"
+        bad.write_bytes(b"not a nifti at all")
+        svc = InferenceService(config, ckpt)
+        with pytest.raises(RequestError):
+            svc.segment({m: str(bad) for m in svc.modalities})
+
+    def test_admission_control_sheds_load(self, served):
+        config, ckpt, inputs, _ = served
+        config.set("serving.max_in_flight", 1)
+        svc = InferenceService(config, ckpt)
+        assert svc.max_in_flight == 1
+        assert svc._admission.acquire(blocking=False)  # occupy the only slot
+        try:
+            with pytest.raises(ServiceBusyError, match="in flight"):
+                svc.segment(inputs)
+        finally:
+            svc._admission.release()
+        svc.segment(inputs)  # slot free again → serves normally
 
 
 class TestHTTPServer:
@@ -132,6 +159,10 @@ class TestHTTPServer:
         # valid JSON that is not an object is a client error, not a 500
         with pytest.raises(urllib.error.HTTPError) as ei:
             self._post(base + "/v1/segment", [1, 2, 3])
+        assert ei.value.code == 400
+        # malformed warmup shape is a client error too
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(base + "/v1/warmup", {"shape": [96, 96]})
         assert ei.value.code == 400
         # server still serves after errors
         with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
