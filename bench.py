@@ -7,8 +7,8 @@ inference" (BASELINE.json north_star; reference envelope
 roi 96³, overlap 0.5, gaussian blending, bf16. Target ≥10.
 
 The single JSON line also reports:
-- ``swin_plain_vol_per_min`` — the same pipeline without the fusion module
-  (round-1 headline, for continuity);
+- ``xattn_7x7_ref_envelope_vol_per_min`` — the reference-envelope config
+  (7³ windows, fusion at every stage; r2 headline, for continuity);
 - ``train_step_ms`` / ``train_mfu`` — one 96³ feature-48 bf16+remat training
   step (forward+backward+adamw), micro=1 (grad-accum scan is env-gated on
   this dev box, see CLAUDE.md);

@@ -60,6 +60,16 @@ def modality_normalize(
     return jnp.stack(channels, axis=-1)
 
 
+def normalize_from_config(image: jax.Array, config) -> jax.Array:
+    """`modality_normalize` driven by a full config object (the
+    ``data.modalities`` / ``data.preprocessing`` sections) — the shared
+    inference-time gate for the batch CLI and the HTTP service."""
+    modalities = list(config.get("data.modalities", ["CT", "PET"]))
+    pc = config.get("data.preprocessing", {}) or {}
+    pc = pc.to_dict() if hasattr(pc, "to_dict") else dict(pc)
+    return modality_normalize(image, modalities, pc)
+
+
 def resize_sample(sample: Sample, size: Tuple[int, int, int]) -> Sample:
     """Resize image (linear) and label (nearest) to ``size``."""
     out = dict(sample)

@@ -75,24 +75,47 @@ def tile_count(
     return n
 
 
-def auto_sw_batch_size(n_tiles: int, target: int, slack: int = 4) -> int:
-    """Largest chunk size in ``[target − slack, target]`` minimizing padded
-    tile slots.
+def auto_sw_batch_size(
+    n_tiles: int, target: int, slack: int = 4, chunk_multiple: int = 1
+) -> int:
+    """Chunk size ≤ ``target`` minimizing padded tile slots.
 
     Padded slots run the model on duplicate tiles whose outputs are masked
     away — pure waste. Measured on the flagship (45 tiles, v5e): sw 15
     (0 padded) → 40.4 vol/min vs sw 16 (3 padded) → 39.4 and sw 12
-    (0 padded but smaller chunks) → 32.9, so prefer minimal waste first,
-    then the largest chunk (the MXU wants batch).
+    (3 padded, smaller chunks) → 32.9 — so minimize waste first, then take
+    the largest chunk (the MXU wants batch). Single-device the search stays
+    within ``slack`` of ``target`` (tiny chunks feed the MXU too poorly for
+    zero waste to pay for them); with ``chunk_multiple`` > 1 (a data mesh
+    rounds the chunk count up to the mesh size) waste dominates, so the
+    candidates are the per-quantum optima ``ceil(n / (cm·k))`` instead —
+    a fixed window would keep e.g. sw 15 for 45 tiles on 8 devices, paying
+    75 padded slots where sw 6 pays 3.
     """
-    target = max(1, int(target))
-    n_tiles = max(1, int(n_tiles))
-    best = target
-    best_waste = math.ceil(n_tiles / target) * target - n_tiles
-    for sw in range(target - 1, max(0, target - slack - 1), -1):
-        waste = math.ceil(n_tiles / sw) * sw - n_tiles
-        if waste < best_waste:
-            best, best_waste = sw, waste
+    n = max(1, int(n_tiles))
+    cm = max(1, int(chunk_multiple))
+    target = max(1, min(int(target), n))
+
+    def waste(sw: int) -> int:
+        chunks = math.ceil(math.ceil(n / sw) / cm) * cm
+        return chunks * sw - n
+
+    if cm == 1:
+        candidates = list(range(target, max(0, target - slack - 1), -1))
+    else:
+        candidates, k = [], 1
+        while True:
+            sw = math.ceil(n / (cm * k))
+            if sw <= target and sw not in candidates:
+                candidates.append(sw)
+            if sw <= 1:
+                break
+            k += 1
+    best, best_waste = None, None
+    for sw in candidates:  # decreasing sw; strict < keeps the largest on ties
+        w_ = waste(sw)
+        if best is None or w_ < best_waste:
+            best, best_waste = sw, w_
     return best
 
 
@@ -102,11 +125,14 @@ def resolve_sw_batch(
     roi_size: Tuple[int, int, int],
     overlap: float,
     default: int = 4,
+    chunk_multiple: int = 1,
 ) -> int:
     """Resolve a config ``inference.batch_size`` to a concrete chunk size.
 
-    ``value`` may be an int, ``"auto"`` (divisor search capped at 16), or
-    ``"auto:N"`` (capped at N).
+    ``value`` may be an int, ``"auto"`` (waste-minimizing search capped at
+    16), or ``"auto:N"`` (capped at N). ``chunk_multiple`` is the data-mesh
+    size when the tile chunks will be sharded (the chunk count rounds up to
+    it, which changes which chunk size wastes least).
     """
     if value is None:
         return int(default)
@@ -114,7 +140,10 @@ def resolve_sw_batch(
         v = value.strip().lower()
         if v.startswith("auto"):
             cap = int(v.split(":", 1)[1]) if ":" in v else 16
-            return auto_sw_batch_size(tile_count(shape, roi_size, overlap), cap)
+            return auto_sw_batch_size(
+                tile_count(shape, roi_size, overlap), cap,
+                chunk_multiple=chunk_multiple,
+            )
         return int(v)
     return int(value)
 
@@ -481,7 +510,8 @@ class SlidingWindowRunner:
         bucket = bucket_shape((h, w, d), self.roi_size, self.overlap)
         H, W, D = bucket
         sw = resolve_sw_batch(
-            self._sw_spec, bucket, self.roi_size, self.overlap
+            self._sw_spec, bucket, self.roi_size, self.overlap,
+            chunk_multiple=self._chunk_multiple(),
         )
         # tile grid from the ORIGINAL shape (bit-parity with the unbucketed
         # program); chunk count from the bucket shape (shared compile key)
@@ -516,3 +546,24 @@ class SlidingWindowRunner:
     @property
     def num_compiled(self) -> int:
         return len(self._cache)
+
+
+def predict_labels(run_sw: Callable, image: jax.Array, tta: bool = False):
+    """Blended logits → label map for one ``[H, W, D, C]`` volume.
+
+    ``run_sw`` maps a volume to full-volume logits (any of this module's
+    three entry points). With ``tta``, averages logits over the 3
+    single-axis spatial flips, un-flipping each prediction (the reference
+    declares ``inference.tta`` but never implements it —
+    /root/reference/configs/default.yaml:121). Shared by the batch CLI
+    (``Trainer.predict``) and the HTTP service so the two serving surfaces
+    cannot diverge. Returns a DEVICE int array — callers fetch it
+    (``np.asarray``) outside any device lock they hold.
+    """
+    logits = run_sw(image)
+    if tta:
+        for axis in range(3):
+            flipped = jnp.flip(image, axis=axis)
+            logits = logits + jnp.flip(run_sw(flipped), axis=axis)
+        logits = logits / 4.0
+    return jnp.argmax(logits, axis=-1)

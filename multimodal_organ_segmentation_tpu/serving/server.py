@@ -112,6 +112,21 @@ class InferenceService:
         # long-lived process (and losing every warmed bucket compile)
         self.max_in_flight = max(1, int(config.get("serving.max_in_flight", 4)))
         self._admission = threading.BoundedSemaphore(self.max_in_flight)
+        # cap per-request device memory: a whole-body PET/CT is ~112M voxels
+        # (400×400×700); anything past this is a malformed or abusive
+        # request, not a clinical volume
+        self.max_volume_voxels = int(
+            config.get("serving.max_volume_voxels", 128_000_000)
+        )
+
+    def _check_volume_shape(self, h: int, w: int, d: int) -> None:
+        if min(h, w, d) < 1:
+            raise RequestError(f"volume shape ({h}, {w}, {d}) has empty axes")
+        if h * w * d > self.max_volume_voxels:
+            raise RequestError(
+                f"volume shape ({h}, {w}, {d}) exceeds "
+                f"serving.max_volume_voxels={self.max_volume_voxels}"
+            )
 
     # -- operations -------------------------------------------------------
 
@@ -124,17 +139,29 @@ class InferenceService:
             h, w, d = (int(s) for s in shape)
         except (TypeError, ValueError) as e:
             raise RequestError(f"shape must be 3 ints, got {shape!r}") from e
-        bucket = bucket_shape((h, w, d), self.runner.roi_size, self.runner.overlap)
-        t0 = time.perf_counter()
-        vol = jnp.zeros((h, w, d, len(self.modalities)), jnp.float32)
-        with self._device_lock:
-            out = self.runner(vol, self._variables)
-            out.block_until_ready()
-        return {
-            "bucket": list(bucket),
-            "compiled_buckets": self.runner.num_compiled,
-            "warmup_s": round(time.perf_counter() - t0, 3),
-        }
+        self._check_volume_shape(h, w, d)
+        # warmup compiles can take minutes and hold the device lock — they
+        # go through the same admission gate as segment requests
+        if not self._admission.acquire(blocking=False):
+            raise ServiceBusyError(
+                f"{self.max_in_flight} requests already in flight; retry later"
+            )
+        try:
+            bucket = bucket_shape(
+                (h, w, d), self.runner.roi_size, self.runner.overlap
+            )
+            t0 = time.perf_counter()
+            vol = jnp.zeros((h, w, d, len(self.modalities)), jnp.float32)
+            with self._device_lock:
+                out = self.runner(vol, self._variables)
+                out.block_until_ready()
+            return {
+                "bucket": list(bucket),
+                "compiled_buckets": self.runner.num_compiled,
+                "warmup_s": round(time.perf_counter() - t0, 3),
+            }
+        finally:
+            self._admission.release()
 
     def segment(
         self,
@@ -144,7 +171,10 @@ class InferenceService:
     ) -> Dict[str, Any]:
         """Segment one case given ``{modality: nifti_path}``."""
         from multimodal_organ_segmentation_tpu.ops.sliding_window import bucket_shape
-        from multimodal_organ_segmentation_tpu.utils.io import load_nifti, save_nifti
+        from multimodal_organ_segmentation_tpu.utils.io import (
+            load_case_channels,
+            save_nifti,
+        )
 
         if not self._admission.acquire(blocking=False):
             raise ServiceBusyError(
@@ -152,52 +182,46 @@ class InferenceService:
             )
         try:
             return self._segment(inputs, output_dir, case_id,
-                                 bucket_shape, load_nifti, save_nifti)
+                                 bucket_shape, load_case_channels, save_nifti)
         finally:
             self._admission.release()
 
     def _segment(self, inputs, output_dir, case_id,
-                 bucket_shape, load_nifti, save_nifti) -> Dict[str, Any]:
+                 bucket_shape, load_case_channels, save_nifti) -> Dict[str, Any]:
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            predict_labels,
+        )
+
         jnp = self._jnp
         missing = [m for m in self.modalities if m not in inputs]
         if missing:
             raise RequestError(f"missing modalities {missing}; need {self.modalities}")
 
         t0 = time.perf_counter()
-        channels, affine = [], None
         try:
-            for mod in self.modalities:
-                vol, aff = load_nifti(inputs[mod], return_affine=True)
-                channels.append(np.asarray(vol, dtype=np.float32))
-                if affine is None:
-                    affine = aff
-            image = jnp.asarray(np.stack(channels, axis=-1))
+            image_np, affine = load_case_channels(inputs, self.modalities)
         except (ValueError, OSError) as e:
             # garbage/mismatched/corrupt client volumes, not our bug
             # (gzip.BadGzipFile is an OSError)
             raise RequestError(f"cannot assemble input volume: {e}") from e
+        self._check_volume_shape(*image_np.shape[:3])
+        image = jnp.asarray(image_np)
         if self.normalize:
             from multimodal_organ_segmentation_tpu.data.transforms import (
-                modality_normalize,
+                normalize_from_config,
             )
 
-            pc = self.config.get("data.preprocessing", {}) or {}
-            pc = pc.to_dict() if hasattr(pc, "to_dict") else dict(pc)
-            image = modality_normalize(image, self.modalities, pc)
+            image = normalize_from_config(image, self.config)
         t_io = time.perf_counter()
 
+        # only device DISPATCH holds the lock; the host fetch of the mask
+        # (tens of MB) runs outside it so the next request's dispatch can
+        # overlap this one's transfer
         with self._device_lock:
-            logits = self.runner(image, self._variables)
-            if self.tta:
-                # same flip TTA as the batch CLI (Trainer.predict): average
-                # logits over the 3 single-axis flips, un-flipping each
-                for axis in range(3):
-                    flipped = jnp.flip(image, axis=axis)
-                    logits = logits + jnp.flip(
-                        self.runner(flipped, self._variables), axis=axis
-                    )
-                logits = logits / 4.0
-            pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
+            pred_dev = predict_labels(
+                lambda v: self.runner(v, self._variables), image, tta=self.tta
+            )
+        pred = np.asarray(pred_dev).astype(np.uint8)
         t_dev = time.perf_counter()
 
         result: Dict[str, Any] = {
@@ -315,7 +339,8 @@ def run_serve(config, logger) -> None:
         logger.info(f"warmup {list(shape)} → bucket {info['bucket']} "
                     f"({info['warmup_s']}s)")
     server = make_server(service, host, port)
-    logger.info(f"serving {service.model_name} on http://{host}:{port} "
+    bound_port = server.server_address[1]  # real port when --port 0
+    logger.info(f"serving {service.model_name} on http://{host}:{bound_port} "
                 f"(endpoints: /healthz, /v1/warmup, /v1/segment)")
     try:
         server.serve_forever()

@@ -663,7 +663,10 @@ class Trainer:
     def predict(self, input_path, output_path) -> List[str]:
         """Sliding-window inference over discovered cases; saves
         ``{case}_pred.nii.gz`` (uint8, source affine)."""
-        from multimodal_organ_segmentation_tpu.utils.io import load_nifti
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            predict_labels,
+        )
+        from multimodal_organ_segmentation_tpu.utils.io import load_case_channels
 
         output_path = ensure_dir(output_path)
         sw_cfg = self.config.get("inference.sliding_window", {}) or {}
@@ -720,13 +723,8 @@ class Trainer:
         modalities = list(self.config.get("data.modalities", ["CT", "PET"]))
 
         def _load_case(case, mods):
-            channels, affine = [], None
-            for mod in modalities:
-                vol, aff = load_nifti(mods[mod], return_affine=True)
-                channels.append(vol.astype(np.float32))
-                if affine is None:
-                    affine = aff
-            return case, np.stack(channels, axis=-1), affine
+            image, affine = load_case_channels(mods, modalities)
+            return case, image, affine
 
         import itertools
 
@@ -757,7 +755,8 @@ class Trainer:
                 mesh=dp_mesh,
                 overlap=overlap,
                 sw_batch_size=resolve_sw_batch(
-                    sw_batch, tuple(vol.shape[:3]), roi, overlap
+                    sw_batch, tuple(vol.shape[:3]), roi, overlap,
+                    chunk_multiple=int(dp_mesh.shape["data"]),
                 ),
                 mode=mode,
                 params=variables,
@@ -784,11 +783,8 @@ class Trainer:
         normalize = bool(self.config.get("inference.normalize", False))
         if normalize:
             from multimodal_organ_segmentation_tpu.data.transforms import (
-                modality_normalize,
+                normalize_from_config,
             )
-
-            pc = self.config.get("data.preprocessing", {}) or {}
-            pc = pc.to_dict() if hasattr(pc, "to_dict") else dict(pc)
 
         written = []
         write_futures = []
@@ -800,18 +796,13 @@ class Trainer:
                     pending.append(loader.submit(_load_case, *nxt))
                 image = jnp.asarray(image_np)
                 if normalize:
-                    image = modality_normalize(image, modalities, pc)
+                    image = normalize_from_config(image, self.config)
 
-                logits = run_sw(image)
-                if tta:
-                    # flip TTA (reference declares inference.tta but never
-                    # implements it): average logits over the 3 single-axis
-                    # spatial flips, un-flipping each prediction
-                    for axis in range(3):
-                        flipped = jnp.flip(image, axis=axis)
-                        logits = logits + jnp.flip(run_sw(flipped), axis=axis)
-                    logits = logits / 4.0
-                pred = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.uint8)
+                # shared with the HTTP service (serving/server.py) so the
+                # two serving surfaces produce identical masks
+                pred = np.asarray(
+                    predict_labels(run_sw, image, tta=tta)
+                ).astype(np.uint8)
                 out_file = Path(output_path) / f"{case}_pred.nii.gz"
 
                 def _write(pred=pred, out_file=out_file, affine=affine):

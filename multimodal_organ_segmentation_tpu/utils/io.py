@@ -40,6 +40,22 @@ def load_nifti(
     return out[0] if len(out) == 1 else tuple(out)
 
 
+def load_case_channels(paths, modalities: Sequence[str]):
+    """Stack one case's per-modality NIfTIs into ``[H, W, D, C]`` float32.
+
+    Returns ``(image, affine)`` where the affine is the first modality's
+    (all modalities of a case share a grid after registration). Shared by
+    the batch CLI (``Trainer.predict``) and the HTTP serving path.
+    """
+    channels, affine = [], None
+    for mod in modalities:
+        vol, aff = load_nifti(paths[mod], return_affine=True)
+        channels.append(np.asarray(vol, dtype=np.float32))
+        if affine is None:
+            affine = aff
+    return np.stack(channels, axis=-1), affine
+
+
 def save_nifti(data, path, affine=None, dtype=None) -> None:
     """Save a numpy array as NIfTI (reference: io.py:101-131)."""
     arr = np.asarray(data)

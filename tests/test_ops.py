@@ -245,11 +245,27 @@ class TestAutoSwBatch:
         assert auto_sw_batch_size(36, 16) == 12
         # exact fit keeps the cap
         assert auto_sw_batch_size(48, 16) == 16
-        # fewer tiles than the cap: no waste possible below n, keep... the
-        # search clamps to n via ceil math (waste 0 at sw=n)
+        # fewer tiles than the cap: clamp to n (one exact chunk, zero waste)
         assert auto_sw_batch_size(5, 8) == 5
+        assert auto_sw_batch_size(1, 16) == 1
+        assert auto_sw_batch_size(8, 16) == 8
         # nothing divides: least-waste candidate wins (27 → 14: 1 padded)
         assert auto_sw_batch_size(27, 16) == 14
+
+    def test_policy_mesh(self):
+        """With a data mesh the chunk count rounds up to the mesh size, so
+        the waste metric must include that rounding."""
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            auto_sw_batch_size,
+        )
+
+        # 45 tiles on 8 devices: sw 6 → 8 chunks (48 slots, 3 padded);
+        # the single-device pick (15) would round 3 chunks → 8 (75 padded)
+        assert auto_sw_batch_size(45, 16, chunk_multiple=8) == 6
+        # 100 tiles on 2 devices: sw 10 → 10 chunks, zero waste
+        assert auto_sw_batch_size(100, 16, chunk_multiple=2) == 10
+        # fewer tiles than devices: sw 1, padding is unavoidable
+        assert auto_sw_batch_size(3, 16, chunk_multiple=8) == 1
 
     def test_resolve(self):
         from multimodal_organ_segmentation_tpu.ops.sliding_window import (
@@ -263,6 +279,11 @@ class TestAutoSwBatch:
         assert resolve_sw_batch("auto:8", (192, 192, 256), roi, ov) == 5
         assert resolve_sw_batch(7, (192, 192, 256), roi, ov) == 7
         assert resolve_sw_batch(None, (192, 192, 256), roi, ov, default=4) == 4
+        # mesh-aware: the chunk multiple reshapes the waste landscape
+        assert (
+            resolve_sw_batch("auto", (192, 192, 256), roi, ov, chunk_multiple=8)
+            == 6
+        )
 
     def test_runner_accepts_auto(self):
         from multimodal_organ_segmentation_tpu.ops.sliding_window import (
@@ -277,8 +298,17 @@ class TestAutoSwBatch:
             predict, roi_size=(16, 16, 16), num_classes=3, overlap=0.5,
             sw_batch_size="auto:4",
         )
-        vol = jnp.asarray(rng.normal(size=(24, 24, 24, 1)).astype(np.float32))
-        out = runner(vol, prm)  # 27 tiles → sw 3 wastes 0 within auto:4
+        # 32^3 / roi 16 / overlap 0.5 → 3 starts per axis = 27 tiles;
+        # auto:4 must pick sw 3 (27 % 3 == 0; sw 4 pads 1 slot)
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            resolve_sw_batch,
+            tile_count,
+        )
+
+        assert tile_count((32, 32, 32), (16, 16, 16), 0.5) == 27
+        assert resolve_sw_batch("auto:4", (32, 32, 32), (16, 16, 16), 0.5) == 3
+        vol = jnp.asarray(rng.normal(size=(32, 32, 32, 1)).astype(np.float32))
+        out = runner(vol, prm)
         ref = sliding_window_inference(
             vol, lambda x: predict(prm, x), roi_size=(16, 16, 16),
             num_classes=3, overlap=0.5, sw_batch_size=3,

@@ -99,9 +99,22 @@ class TestInferenceService:
         try:
             with pytest.raises(ServiceBusyError, match="in flight"):
                 svc.segment(inputs)
+            # warmup holds the device lock through a compile — it must go
+            # through the same admission gate
+            with pytest.raises(ServiceBusyError, match="in flight"):
+                svc.warmup([32, 32, 32])
         finally:
             svc._admission.release()
         svc.segment(inputs)  # slot free again → serves normally
+
+    def test_oversized_shape_rejected(self, served):
+        config, ckpt, inputs, _ = served
+        svc = InferenceService(config, ckpt)
+        # a 4096^3 warmup would pin ~550 GB on device; client fault, not 500
+        with pytest.raises(RequestError, match="max_volume_voxels"):
+            svc.warmup([4096, 4096, 4096])
+        with pytest.raises(RequestError, match="empty axes"):
+            svc.warmup([0, 32, 32])
 
 
 class TestHTTPServer:
