@@ -62,7 +62,16 @@ class DataLoader:
         prefetch: int = 2,
         seed: int = 0,
         collate=collate_fn,
+        process_shard: Optional[Sequence[int]] = None,
     ):
+        """``process_shard=(pid, nproc)`` — multi-host data parallelism:
+        every process builds the SAME deterministic global batch order
+        (shuffle is keyed by (seed, epoch), not process state), then keeps
+        only its contiguous block of each batch's rows. ``batch_size``
+        stays the GLOBAL batch size; each host loads 1/nproc of the bytes.
+        The contiguous-block split matches ``jax.devices()`` process order,
+        which is what ``host_local_array_to_global_array`` assumes when the
+        trainer reassembles the global batch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -71,6 +80,11 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.collate = collate
         self.seed = seed
+        self.process_shard = tuple(process_shard) if process_shard else None
+        if self.process_shard is not None:
+            pid, nproc = self.process_shard
+            if not (0 <= pid < nproc):
+                raise ValueError(f"bad process_shard {self.process_shard}")
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -92,6 +106,19 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self.process_shard is not None:
+            pid, nproc = self.process_shard
+            for b in batches:
+                if len(b) % nproc != 0:
+                    raise ValueError(
+                        f"global batch of {len(b)} does not divide over "
+                        f"{nproc} processes; use drop_last or a batch size "
+                        f"divisible by {nproc}"
+                    )
+            batches = [
+                b[pid * (len(b) // nproc) : (pid + 1) * (len(b) // nproc)]
+                for b in batches
+            ]
         return batches
 
     def epoch_iter(
@@ -203,6 +230,14 @@ def get_dataloader(config, split: str = "train", transform=None) -> DataLoader:
         transform = get_transforms(config, mode=split)
     dataset = get_dataset(config, split=split, transform=transform)
     is_train = split == "train"
+    # multi-host: shard the TRAIN stream by process (each host loads 1/P of
+    # every global batch; the trainer reassembles the global array).
+    # Validation stays unsharded — every host computes the full val set
+    # (redundant but correct; val is a tiny fraction of the epoch).
+    nproc = jax.process_count()
+    process_shard = (
+        (jax.process_index(), nproc) if (is_train and nproc > 1) else None
+    )
     return DataLoader(
         dataset,
         batch_size=int(config.get("training.batch_size", 2)),
@@ -211,4 +246,5 @@ def get_dataloader(config, split: str = "train", transform=None) -> DataLoader:
         num_workers=int(config.get("hardware.num_workers", 4)),
         prefetch=int(config.get("hardware.prefetch_depth", 2)),
         seed=int(config.get("experiment.seed", 42)),
+        process_shard=process_shard,
     )

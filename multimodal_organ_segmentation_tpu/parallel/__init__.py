@@ -11,6 +11,9 @@ from multimodal_organ_segmentation_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     replicated,
     shard_batch,
+    shard_opt_state,
+    zero1_constrainer,
+    zero1_spec,
 )
 from multimodal_organ_segmentation_tpu.parallel.multihost import (  # noqa: F401
     maybe_initialize_distributed,

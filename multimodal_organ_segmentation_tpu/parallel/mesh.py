@@ -89,6 +89,67 @@ def constrain_channels(x, axis: Optional[str]):
         return x
 
 
+def zero1_spec(shape, n_shards: int, axis: str = "data") -> P:
+    """ZeRO-1 PartitionSpec for one optimizer-state leaf: shard the largest
+    dim divisible by ``n_shards``; replicate if none divides (scalars, odd
+    channel counts). Deterministic from the shape alone, so the train step
+    can re-derive the same spec for its output constraint."""
+    best = None
+    for i, d in enumerate(shape):
+        if d > 0 and d % n_shards == 0 and (best is None or d > shape[best]):
+            best = i
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = axis
+    return P(*spec)
+
+
+def shard_opt_state(opt_state, mesh: Mesh, axis: str = "data"):
+    """Place an optimizer-state pytree with ZeRO-1 sharding over ``axis``.
+
+    Adam's m/v moments mirror the params: with pure DP they are replicated,
+    wasting (data−1)/data of their HBM on every chip. Sharding each moment
+    leaf over the data axis (the ZeRO-1 / optimizer-state-sharding recipe)
+    makes the optimizer update a sharded elementwise op — GSPMD turns the
+    gradient all-reduce into reduce-scatter + all-gather automatically.
+    Params stay replicated (unlike ZeRO-3), so the forward/backward are
+    untouched. The reference has no distributed training at all
+    (/root/reference/configs/default.yaml:164-167)."""
+    n = int(mesh.shape[axis])
+
+    def place(x):
+        if not hasattr(x, "ndim"):
+            return x
+        return jax.device_put(
+            x, NamedSharding(mesh, zero1_spec(tuple(x.shape), n, axis))
+        )
+
+    return jax.tree_util.tree_map(place, opt_state)
+
+
+def zero1_constrainer(mesh: Mesh, axis: str = "data"):
+    """Returns a function applying ``with_sharding_constraint`` to every
+    leaf of an opt-state pytree inside jit — keeps the train step's output
+    opt state sharded instead of letting GSPMD re-replicate it."""
+    n = int(mesh.shape[axis])
+
+    def constrain(opt_state):
+        def leaf(x):
+            if not hasattr(x, "ndim") or x.ndim == 0:
+                return x
+            try:
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, zero1_spec(tuple(x.shape), n, axis))
+                )
+            except Exception:
+                return x
+
+        return jax.tree_util.tree_map(leaf, opt_state)
+
+    return constrain
+
+
 def config_tp_axis(config):
     """Tensor-parallel mesh axis from config: ``parallel.tp_axis`` when set,
     else "model" when the configured mesh has a non-trivial model axis

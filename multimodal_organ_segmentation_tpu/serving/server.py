@@ -25,6 +25,8 @@ TPU-shaped design decisions:
 Endpoints (JSON in/out):
 
 - ``GET  /healthz``      → {status, model, compiled_buckets, requests}
+- ``GET  /v1/stats``     → request/rejection/error counters + latency
+                          percentiles (p50/p95/max over a sliding window)
 - ``POST /v1/warmup``    {"shape": [H, W, D]} → precompile that bucket
 - ``POST /v1/segment``   {"inputs": {MOD: path, ...}, "output_dir": ...,
                           "case_id": ...} → run + save {case}_pred.nii.gz
@@ -32,6 +34,7 @@ Endpoints (JSON in/out):
 
 from __future__ import annotations
 
+import collections
 import json
 import threading
 import time
@@ -106,6 +109,13 @@ class InferenceService:
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.requests_served = 0
+        # operational counters + a sliding latency window (512 requests ≈
+        # hours of clinical traffic; bounded so a long-lived process never
+        # grows). Guarded by _stats_lock.
+        self._counters = collections.Counter()
+        self._latencies = {
+            k: collections.deque(maxlen=512) for k in ("total_s", "device_s", "load_s")
+        }
         # admission control: each in-flight request holds a decoded clinical
         # volume (hundreds of MB) in host RAM while queued on the device
         # lock; bound that, and shed the rest with 503 instead of OOMing the
@@ -118,6 +128,10 @@ class InferenceService:
         self.max_volume_voxels = int(
             config.get("serving.max_volume_voxels", 128_000_000)
         )
+
+    def _count(self, key: str, n: int = 1) -> None:
+        with self._stats_lock:
+            self._counters[key] += n
 
     def _check_volume_shape(self, h: int, w: int, d: int) -> None:
         if min(h, w, d) < 1:
@@ -143,6 +157,7 @@ class InferenceService:
         # warmup compiles can take minutes and hold the device lock — they
         # go through the same admission gate as segment requests
         if not self._admission.acquire(blocking=False):
+            self._count("rejected")
             raise ServiceBusyError(
                 f"{self.max_in_flight} requests already in flight; retry later"
             )
@@ -155,6 +170,7 @@ class InferenceService:
             with self._device_lock:
                 out = self.runner(vol, self._variables)
                 out.block_until_ready()
+            self._count("warmups")
             return {
                 "bucket": list(bucket),
                 "compiled_buckets": self.runner.num_compiled,
@@ -177,14 +193,25 @@ class InferenceService:
         )
 
         if not self._admission.acquire(blocking=False):
+            self._count("rejected")
             raise ServiceBusyError(
                 f"{self.max_in_flight} requests already in flight; retry later"
             )
         try:
-            return self._segment(inputs, output_dir, case_id,
-                                 bucket_shape, load_case_channels, save_nifti)
+            result = self._segment(inputs, output_dir, case_id,
+                                   bucket_shape, load_case_channels, save_nifti)
+        except (RequestError, FileNotFoundError):
+            self._count("client_errors")
+            raise
+        except Exception:
+            self._count("server_errors")
+            raise
         finally:
             self._admission.release()
+        with self._stats_lock:
+            for k, dq in self._latencies.items():
+                dq.append(result[k])
+        return result
 
     def _segment(self, inputs, output_dir, case_id,
                  bucket_shape, load_case_channels, save_nifti) -> Dict[str, Any]:
@@ -266,6 +293,38 @@ class InferenceService:
             "requests": self.requests_served,
         }
 
+    def stats(self) -> Dict[str, Any]:
+        """Operational counters + latency percentiles (sliding 512-request
+        window). What an SRE dashboard scrapes; the reference has no serving
+        surface at all, let alone one with observability."""
+
+        def pct(sorted_xs, q: float) -> float:
+            i = min(len(sorted_xs) - 1, int(round(q * (len(sorted_xs) - 1))))
+            return sorted_xs[i]
+
+        with self._stats_lock:
+            counters = dict(self._counters)
+            lats = {k: sorted(dq) for k, dq in self._latencies.items()}
+            served = self.requests_served
+        out: Dict[str, Any] = {
+            "requests": served,
+            "rejected": counters.get("rejected", 0),
+            "client_errors": counters.get("client_errors", 0),
+            "server_errors": counters.get("server_errors", 0),
+            "warmups": counters.get("warmups", 0),
+            "compiled_buckets": self.runner.num_compiled,
+            "max_in_flight": self.max_in_flight,
+            "window": len(lats["total_s"]),
+        }
+        for name, xs in lats.items():
+            if xs:
+                out[name] = {
+                    "p50": round(pct(xs, 0.50), 3),
+                    "p95": round(pct(xs, 0.95), 3),
+                    "max": round(xs[-1], 3),
+                }
+        return out
+
 
 def make_server(service: InferenceService, host: str = "127.0.0.1", port: int = 8080):
     """Build (not start) a ``ThreadingHTTPServer`` around ``service``."""
@@ -286,6 +345,8 @@ def make_server(service: InferenceService, host: str = "127.0.0.1", port: int = 
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, service.health())
+            elif self.path == "/v1/stats":
+                self._reply(200, service.stats())
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -341,10 +402,25 @@ def run_serve(config, logger) -> None:
     server = make_server(service, host, port)
     bound_port = server.server_address[1]  # real port when --port 0
     logger.info(f"serving {service.model_name} on http://{host}:{bound_port} "
-                f"(endpoints: /healthz, /v1/warmup, /v1/segment)")
+                f"(endpoints: /healthz, /v1/stats, /v1/warmup, /v1/segment)")
+
+    # preemptible TPU hosts get SIGTERM before the chip is reclaimed: stop
+    # accepting, let in-flight requests drain, exit 0 so the supervisor
+    # restarts cleanly elsewhere
+    import signal
+
+    def _term(signum, frame):
+        logger.info("SIGTERM: draining and shutting down")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:  # not the main thread (embedded use)
+        pass
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         server.server_close()
+        logger.info(f"final stats: {json.dumps(service.stats())}")

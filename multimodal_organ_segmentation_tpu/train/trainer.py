@@ -40,6 +40,8 @@ from multimodal_organ_segmentation_tpu.ops.sliding_window import (
 from multimodal_organ_segmentation_tpu.parallel.mesh import (
     make_mesh,
     replicate_tree,
+    shard_opt_state,
+    zero1_constrainer,
 )
 from multimodal_organ_segmentation_tpu.train.checkpoint import (
     CheckpointPolicy,
@@ -65,11 +67,22 @@ class TrainState:
 
 
 def make_train_step(
-    model, tx, loss_fn: Callable, accum_steps: int
+    model, tx, loss_fn: Callable, accum_steps: int, opt_constraint=None,
+    skip_nonfinite: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
     images ``[accum, micro, H, W, D, C]``, labels ``[accum, micro, H, W, D]``.
+    ``opt_constraint`` (optional; see ``parallel.mesh.zero1_constrainer``)
+    re-asserts the ZeRO-1 sharding on the updated optimizer state so it
+    stays sharded across steps instead of being re-replicated by GSPMD.
+    ``skip_nonfinite`` drops the update (params and optimizer state keep
+    their previous values) when the loss or any gradient is non-finite —
+    one bad batch on a 300-epoch preemptible run must not poison the Adam
+    moments. The step still advances and ``metrics["skipped"]`` reports 1.0
+    so the host loop can log it. (The reference's fp16 GradScaler skips
+    steps on inf/nan scaling; bf16 needs no scaler, but spike protection
+    is still wanted — torch.cuda.amp semantics, trainer.py:237-258.)
     """
 
     def loss_for(params, extra, img, lbl, key):
@@ -107,16 +120,30 @@ def make_train_step(
         scale = 1.0 / accum_steps
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if opt_constraint is not None:
+            opt_state = opt_constraint(opt_state)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates
-        )
-        new_state = TrainState(
-            step=state.step + 1, params=params, opt_state=opt_state, extra=extra
         )
         gnorm = jnp.sqrt(
             sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree_util.tree_leaves(grads))
         )
-        return new_state, {"loss": loss_sum * scale, "grad_norm": gnorm}
+        metrics = {"loss": loss_sum * scale, "grad_norm": gnorm}
+        if skip_nonfinite:
+            # grad_norm is finite iff every gradient element is; one scalar
+            # test instead of a per-leaf reduction tree
+            ok = jnp.isfinite(metrics["loss"]) & jnp.isfinite(gnorm)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, old
+            )
+            params = keep(params, state.params)
+            opt_state = keep(opt_state, state.opt_state)
+            extra = keep(extra, state.extra)
+            metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, extra=extra
+        )
+        return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
 
@@ -226,6 +253,15 @@ class Trainer:
 
     # -- state ------------------------------------------------------------
 
+    def _zero1_active(self) -> bool:
+        """ZeRO-1 optimizer-state sharding: on when ``parallel.zero1`` is
+        set and the mesh has a non-trivial data axis."""
+        return (
+            bool(self.config.get("parallel.zero1", False))
+            and self.mesh is not None
+            and int(self.mesh.shape["data"]) > 1
+        )
+
     def init_state(self, sample_image: np.ndarray) -> TrainState:
         """Initialize params/opt state from one example image [H, W, D, C]."""
         x = jnp.asarray(sample_image)[None]
@@ -252,6 +288,12 @@ class Trainer:
         )
         if self.mesh is not None:
             state = replicate_tree(state, self.mesh)
+            if self._zero1_active():
+                # ZeRO-1: Adam moments sharded over the data axis instead of
+                # replicated — each chip stores 1/data of the optimizer state
+                state = state.replace(
+                    opt_state=shard_opt_state(state.opt_state, self.mesh)
+                )
         self.state = state
 
         if self._resume_from:
@@ -328,6 +370,29 @@ class Trainer:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            nproc = jax.process_count()
+            if nproc > 1:
+                # multi-host DP: each process loaded only ITS rows of the
+                # global batch (DataLoader process_shard); assemble the
+                # global array from the per-host blocks. Process order along
+                # the data axis matches the loader's contiguous-block split.
+                from jax.experimental import multihost_utils as mhu
+
+                data_size = self.mesh.shape["data"]
+                if (images.shape[1] * nproc) % data_size != 0:
+                    raise ValueError(
+                        f"global microbatch {images.shape[1] * nproc} does "
+                        f"not divide the mesh data axis ({data_size})"
+                    )
+
+                def put_global(x):
+                    spec = P(*([None, "data"] + [None] * (x.ndim - 2)))
+                    return mhu.host_local_array_to_global_array(
+                        x, self.mesh, spec
+                    )
+
+                return put_global(images), put_global(labels)
+
             data_size = self.mesh.shape["data"]
             divisible = images.shape[1] % data_size == 0
             if not divisible and not self._warned_replicate:
@@ -367,7 +432,13 @@ class Trainer:
 
         if self._train_step is None:
             self._train_step = make_train_step(
-                self.model, self.tx, self.loss_fn, self.accum_steps
+                self.model, self.tx, self.loss_fn, self.accum_steps,
+                opt_constraint=(
+                    zero1_constrainer(self.mesh) if self._zero1_active() else None
+                ),
+                skip_nonfinite=bool(
+                    self.config.get("training.skip_nonfinite_updates", False)
+                ),
             )
 
         profile_dir = self.config.get("hardware.profile_dir")
@@ -468,8 +539,15 @@ class Trainer:
                 self.state, images, labels, self.keys.next()
             )
             loss = float(metrics["loss"])
-            total += loss
-            count += 1
+            if float(metrics.get("skipped", 0.0)) > 0:
+                if self.logger:
+                    self.logger.warning(
+                        f"step {step_in_epoch + 1}: non-finite loss/grads "
+                        f"(loss={loss}) — update skipped"
+                    )
+            else:
+                total += loss
+                count += 1
             step_in_epoch += 1
             self.last_step_losses.append(loss)
             if save_every_steps and step_in_epoch % save_every_steps == 0:

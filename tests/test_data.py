@@ -224,6 +224,42 @@ class TestSyntheticAndLoader:
         ids2 = [b["patient_id"][0] for b in l2]
         assert ids1 == ids2  # same seed → same order
 
+    def test_process_shard_partitions_batches(self):
+        """Multi-host loading: the per-process loaders' rows union to
+        exactly the unsharded loader's batches (no overlap, no loss)."""
+        from multimodal_organ_segmentation_tpu.data.dataloader import DataLoader
+
+        class Ints:
+            def __len__(self):
+                return 12
+
+            def __getitem__(self, i):
+                return {"idx": np.asarray([i])}
+
+        def rows(loader, epoch):
+            return [
+                [int(v) for v in np.asarray(b["idx"]).ravel()]
+                for b in loader.epoch_iter(epoch)
+            ]
+
+        full = DataLoader(Ints(), batch_size=4, shuffle=True, num_workers=0)
+        p0 = DataLoader(Ints(), batch_size=4, shuffle=True, num_workers=0,
+                        process_shard=(0, 2))
+        p1 = DataLoader(Ints(), batch_size=4, shuffle=True, num_workers=0,
+                        process_shard=(1, 2))
+        for epoch in (1, 2):
+            f = rows(full, epoch)
+            a, b = rows(p0, epoch), rows(p1, epoch)
+            assert len(a) == len(b) == len(f) == 3
+            for fi, ai, bi in zip(f, a, b):
+                assert ai + bi == fi  # contiguous block split, full coverage
+                assert len(ai) == len(bi) == 2
+
+        bad = DataLoader(Ints(), batch_size=3, shuffle=False, num_workers=0,
+                         process_shard=(0, 2))
+        with pytest.raises(ValueError, match="divide"):
+            list(bad.epoch_iter(1))
+
     def test_inference_dataset(self, tmp_path):
         from multimodal_organ_segmentation_tpu.data import InferenceDataset
         from multimodal_organ_segmentation_tpu.utils.io import save_nifti

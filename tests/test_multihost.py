@@ -156,6 +156,80 @@ print(f"proc {pid} OK total={total}")
 """
 
 
+_DP_WORKER = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); n = int(sys.argv[2]); addr = sys.argv[3]; out_dir = sys.argv[4]
+jax.distributed.initialize(coordinator_address=addr, num_processes=n, process_id=pid)
+
+from multimodal_organ_segmentation_tpu.data.dataloader import DataLoader
+from multimodal_organ_segmentation_tpu.parallel.mesh import make_mesh
+from multimodal_organ_segmentation_tpu.train.trainer import Trainer, make_train_step
+from multimodal_organ_segmentation_tpu.utils.config import default_config
+
+# deterministic in-memory dataset, identical on every process
+rng = np.random.default_rng(0)
+N, S = 8, 8
+IMGS = rng.normal(size=(N, S, S, S, 1)).astype(np.float32)
+LBLS = rng.integers(0, 3, size=(N, S, S, S)).astype(np.int32)
+
+class Mem:
+    def __len__(self):
+        return N
+    def __getitem__(self, i):
+        return {"image": IMGS[i], "label": LBLS[i]}
+
+def cfg_for(tag):
+    cfg = default_config()
+    cfg.set("model.name", "unet3d")
+    cfg.set("model.backbone.features", [4, 8])
+    cfg.set("model.out_channels", 3)
+    cfg.set("data.modalities", ["CT"])
+    # sgd: the update is LINEAR in the gradients, so the cross-process
+    # param comparison measures the actual psum error (adam's m/sqrt(v)
+    # amplifies eps-scale float differences into ~lr-scale param noise)
+    cfg.set("training.optimizer.name", "sgd")
+    cfg.set("experiment.output_dir", f"{out_dir}/{tag}")
+    return cfg
+
+GB = 4  # global batch
+# sharded run: this process loads only its rows; _stack_accum reassembles
+loader = DataLoader(Mem(), batch_size=GB, shuffle=True, num_workers=0,
+                    process_shard=(pid, n))
+local = next(iter(loader.epoch_iter(1)))
+assert np.asarray(local["image"]).shape[0] == GB // n, local["image"].shape
+t = Trainer(cfg_for("sharded"), mesh=make_mesh(None))
+t.init_state(IMGS[0])
+imgs, lbls = t._stack_accum([local])
+assert imgs.shape[:2] == (1, GB), imgs.shape  # global batch reassembled
+step = make_train_step(t.model, t.tx, t.loss_fn, accum_steps=1)
+st, m = step(t.state, imgs, lbls, jax.random.key(7))
+loss_sharded = float(m["loss"])
+
+# reference: full-batch single-"host" run (no mesh), same init seed
+full = next(iter(DataLoader(Mem(), batch_size=GB, shuffle=True,
+                            num_workers=0).epoch_iter(1)))
+t2 = Trainer(cfg_for("ref"), mesh=False)
+t2.init_state(IMGS[0])
+imgs2, lbls2 = t2._stack_accum([full])
+step2 = make_train_step(t2.model, t2.tx, t2.loss_fn, accum_steps=1)
+st2, m2 = step2(t2.state, imgs2, lbls2, jax.random.key(7))
+loss_ref = float(m2["loss"])
+
+err = abs(loss_sharded - loss_ref)
+assert err < 1e-5, (loss_sharded, loss_ref)
+# updated params also agree (the grad psum happened across hosts)
+p_sh = jax.tree_util.tree_leaves(st.params)
+p_rf = jax.tree_util.tree_leaves(st2.params)
+perr = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+           for a, b in zip(p_sh, p_rf))
+assert perr < 1e-5, perr
+print(f"proc {pid} OK loss_err={err:.2e} param_err={perr:.2e}")
+"""
+
+
 @pytest.mark.slow
 class TestTwoProcessSmoke:
     def test_two_process_cpu_psum(self, tmp_path):
@@ -194,4 +268,47 @@ class TestTwoProcessSmoke:
             if "UNAVAILABLE" in joined or "DEADLINE" in joined:
                 pytest.skip(f"distributed CPU runtime unavailable: {joined[-500:]}")
             pytest.fail(f"2-process smoke failed:\n{joined}")
+        assert all("OK" in o for o in outs)
+
+    def test_two_process_data_parallel_training(self, tmp_path):
+        """End-to-end multi-host DP: process-sharded loading +
+        ``_stack_accum`` global-batch assembly + one train step produce the
+        SAME loss and params as a single-process full-batch run."""
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        addr = f"127.0.0.1:{port}"
+        script = tmp_path / "dp_worker.py"
+        script.write_text(_DP_WORKER)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        repo = str(Path(__file__).resolve().parents[1])
+        # prepend (never clobber: the TPU plugin path must survive)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(i), "2", addr,
+                 str(tmp_path / f"out{i}")],
+                env=env,
+                cwd=repo,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.skip("2-process DP smoke timed out on this host")
+            outs.append(out.decode())
+        if any(p.returncode != 0 for p in procs):
+            joined = "\n".join(outs)
+            if "UNAVAILABLE" in joined or "DEADLINE" in joined:
+                pytest.skip(f"distributed CPU runtime unavailable: {joined[-500:]}")
+            pytest.fail(f"2-process DP training smoke failed:\n{joined}")
         assert all("OK" in o for o in outs)

@@ -116,6 +116,36 @@ class TestInferenceService:
         with pytest.raises(RequestError, match="empty axes"):
             svc.warmup([0, 32, 32])
 
+    def test_stats_counters_and_latency_window(self, served):
+        config, ckpt, inputs, workdir = served
+        svc = InferenceService(config, ckpt)
+        s0 = svc.stats()
+        assert s0["requests"] == 0 and s0["window"] == 0
+        assert "total_s" not in s0  # no latencies yet
+
+        svc.warmup([32, 32, 32])
+        svc.segment(inputs, output_dir=str(workdir / "stats_preds"), case_id="s1")
+        svc.segment(inputs, output_dir=str(workdir / "stats_preds"), case_id="s2")
+        with pytest.raises(RequestError):
+            svc.segment({m: "/nope.nii.gz" for m in svc.modalities})
+
+        s = svc.stats()
+        assert s["requests"] == 2 and s["window"] == 2
+        assert s["warmups"] == 1 and s["client_errors"] == 1
+        assert s["server_errors"] == 0 and s["rejected"] == 0
+        for key in ("total_s", "device_s", "load_s"):
+            assert s[key]["p50"] <= s[key]["p95"] <= s[key]["max"]
+        # rejections count too
+        config.set("serving.max_in_flight", 1)
+        svc2 = InferenceService(config, ckpt)
+        assert svc2._admission.acquire(blocking=False)
+        try:
+            with pytest.raises(ServiceBusyError):
+                svc2.segment(inputs)
+        finally:
+            svc2._admission.release()
+        assert svc2.stats()["rejected"] == 1
+
 
 class TestHTTPServer:
     @pytest.fixture(scope="class")
@@ -180,3 +210,12 @@ class TestHTTPServer:
         # server still serves after errors
         with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
             assert json.loads(r.read())["status"] == "ok"
+
+    def test_stats_endpoint(self, server):
+        base, _, _ = server
+        with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        # the class-scoped server has served earlier tests' traffic
+        assert stats["requests"] >= 1
+        assert stats["client_errors"] >= 1
+        assert stats["total_s"]["p50"] > 0

@@ -176,6 +176,86 @@ class TestEndToEnd:
         assert np.allclose(aff, np.diag([1.5, 1.5, 2.0, 1.0]))
 
 
+class TestSkipNonfinite:
+    def test_bad_batch_does_not_poison_state(self):
+        """skip_nonfinite: a nan batch leaves params/opt-state untouched;
+        the next clean batch trains normally."""
+        from multimodal_organ_segmentation_tpu.models.unet3d import UNet3D
+        from multimodal_organ_segmentation_tpu.train.losses import dice_ce_loss
+        from multimodal_organ_segmentation_tpu.train.trainer import (
+            TrainState,
+            make_train_step,
+        )
+
+        model = UNet3D(out_channels=3, features=(4, 8))
+        cfg = default_config()
+        tx = make_optimizer(cfg)
+        x0 = jnp.zeros((1, 8, 8, 8, 1))
+        variables = dict(model.init(jax.random.key(0), x0, train=False))
+        params = variables.pop("params")
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), extra={},
+        )
+        p0 = jax.tree_util.tree_map(np.asarray, params)  # host copy
+
+        step = make_train_step(
+            model, tx, lambda lg, lb: dice_ce_loss(lg, lb),
+            accum_steps=1, skip_nonfinite=True,
+        )
+        rng = np.random.default_rng(0)
+        good = rng.normal(size=(1, 2, 8, 8, 8, 1)).astype(np.float32)
+        bad = np.full_like(good, np.nan)
+        labels = rng.integers(0, 3, size=(1, 2, 8, 8, 8)).astype(np.int32)
+
+        state, m = step(state, jnp.asarray(bad), jnp.asarray(labels), jax.random.key(1))
+        assert float(m["skipped"]) == 1.0
+        assert int(state.step) == 1  # step counter still advances
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p0),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+        state, m = step(state, jnp.asarray(good), jnp.asarray(labels), jax.random.key(2))
+        assert float(m["skipped"]) == 0.0
+        assert np.isfinite(float(m["loss"]))
+        changed = any(
+            not np.array_equal(a, np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(p0),
+                jax.tree_util.tree_leaves(state.params),
+            )
+        )
+        assert changed  # clean batch actually trained
+
+    def test_trainer_logs_and_survives_nan_batch(self, tiny_cfg, caplog):
+        """End-to-end: a nan sample in the stream is skipped with a warning
+        and training completes with finite history."""
+        import logging
+
+        cfg = tiny_cfg.copy()
+        cfg.set("training.skip_nonfinite_updates", True)
+        cfg.set("training.epochs", 1)
+        cfg.set("training.accumulation_steps", 1)
+        cfg.set("data.modalities", ["CT"])
+        rng = np.random.default_rng(1)
+        batches = [
+            {
+                "image": rng.normal(size=(2, 16, 16, 16, 1)).astype(np.float32),
+                "label": rng.integers(0, 4, size=(2, 16, 16, 16)).astype(np.int32),
+            }
+            for _ in range(3)
+        ]
+        batches[1]["image"][:] = np.nan
+        logger = logging.getLogger("test_skip_nonfinite")
+        t = Trainer(cfg, train_loader=batches, logger=logger, mesh=False)
+        with caplog.at_level(logging.WARNING, logger="test_skip_nonfinite"):
+            history = t.train()
+        assert any("update skipped" in r.message for r in caplog.records)
+        assert np.isfinite(history["train_loss"][0])
+
+
 class TestTTA:
     def test_tta_predict(self, tiny_cfg, tmp_path):
         """Flip TTA produces a valid prediction; on a flip-equivariant-ish
