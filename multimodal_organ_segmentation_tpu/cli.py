@@ -304,9 +304,17 @@ def run_export(config, logger) -> None:
         },
     )
     ckpt = load_checkpoint(ckpt_path, target=target)
+    from multimodal_organ_segmentation_tpu.train.trainer import (
+        select_infer_params,
+    )
+
+    # export what you deploy: the same weight-selection rule as eval/predict
+    export_params = select_infer_params(ckpt["tree"], config)
+    if export_params is not ckpt["tree"].params:
+        logger.info("checkpoint carries EMA params — exporting the EMA weights")
     Path(out).parent.mkdir(parents=True, exist_ok=True)
     export_torch_checkpoint(
-        ckpt["tree"].params,
+        export_params,
         config,
         out,
         epoch=ckpt["epoch"],

@@ -55,8 +55,13 @@ def run_explainability(config, checkpoint, input_path, output_path, logger=None)
             if k not in ("params", "perturbations", "intermediates")
         },
     )
+    from multimodal_organ_segmentation_tpu.train.trainer import (
+        select_infer_params,
+    )
+
     ckpt = load_checkpoint(checkpoint, target=target)
-    variables["params"] = ckpt["tree"].params
+    # explain the deployed weights (same selection rule as eval/predict)
+    variables["params"] = select_infer_params(ckpt["tree"], cfg)
     variables.update(dict(ckpt["tree"].extra))
 
     # case discovery like Trainer.predict

@@ -605,6 +605,11 @@ class SwinUNETR(nn.Module):
     # fusion cost; restricting to deeper stages trades a little fusion
     # bandwidth for throughput (config: model.fusion.stages).
     fusion_stages: Sequence[int] = (0, 1, 2, 3)
+    # deep supervision: aux 1×1 heads on the intermediate decoder stages
+    # (d1 @ /2, d2 @ /4), upsampled to full res during training — same
+    # contract as UNet3D.deep_supervision (see unet3d.py); the trainer's
+    # loss wrapper applies the 2^-k weights
+    deep_supervision: bool = False
 
     @nn.compact
     def __call__(
@@ -766,6 +771,29 @@ class SwinUNETR(nn.Module):
             self.out_channels, (1, 1, 1), dtype=jnp.float32, name="out_conv"
         )(d0.astype(jnp.float32))
 
+        if self.deep_supervision:
+            # params must exist regardless of `train` (init-time tree ==
+            # train-time tree); at inference the aux results are DCE'd
+            aux = [
+                nn.Conv(
+                    self.out_channels, (1, 1, 1), dtype=jnp.float32,
+                    name=f"ds_head{k}",
+                )(d.astype(jnp.float32))
+                for k, d in enumerate((d1, d2))  # /2, /4 — finest first
+            ]
+            if train:
+                from multimodal_organ_segmentation_tpu.ops.resize import (
+                    resize_linear,
+                )
+
+                full = tuple(logits.shape[1:4])
+                outs = [logits] + [
+                    resize_linear(a, full, (1, 2, 3)) for a in aux
+                ]
+                if capture:
+                    return outs, hidden
+                return outs
+
         if capture:
             return logits, hidden
         return logits
@@ -800,6 +828,15 @@ def build_swin_unetr(config, dtype=jnp.float32) -> SwinUNETR:
             "exactly and cannot be combined with model.fusion.type="
             "cross_attention (this framework's extension) — drop one."
         )
+    deep_supervision = (
+        str(config.get("model.head.type", "conv")) == "deep_supervision"
+    )
+    if deep_supervision and bool(backbone.get("monai_compat", False)):
+        raise ValueError(
+            "model.head.type=deep_supervision adds aux-head params that do "
+            "not exist in the MONAI graph — incompatible with "
+            "model.backbone.monai_compat (torch checkpoint interchange)."
+        )
     stages = fusion.get("stages") if hasattr(fusion, "get") else None
     return SwinUNETR(
         out_channels=int(config.get("model.out_channels", 8)),
@@ -818,6 +855,7 @@ def build_swin_unetr(config, dtype=jnp.float32) -> SwinUNETR:
         # stages: [] is a legitimate "no per-stage fusion" request — only
         # an ABSENT key falls back to all stages
         fusion_stages=tuple(stages) if stages is not None else (0, 1, 2, 3),
+        deep_supervision=deep_supervision,
     )
 
 

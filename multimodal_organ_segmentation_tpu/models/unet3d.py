@@ -42,6 +42,15 @@ class UNet3D(nn.Module):
     # tensor parallelism: mesh axis to shard activation channels over
     # (requires an active mesh context; GSPMD inserts the collectives)
     tp_axis: Any = None
+    # deep supervision: 1×1 aux heads on the intermediate decoder stages,
+    # linearly upsampled to full resolution; training returns
+    # [main, aux_fine, ..., aux_coarse] and the trainer's loss wrapper
+    # applies 1, 1/2, 1/4... weights. Both the reference and this repo
+    # shipped DeepSupervisionHead as dead code (reference
+    # segmentation.py:62-115 — defined, never trained); this wires the
+    # capability into the actual train path. Inference (train=False) always
+    # returns the single full-res logits (aux heads are DCE'd by XLA).
+    deep_supervision: bool = False
 
     @nn.compact
     def __call__(
@@ -72,6 +81,7 @@ class UNet3D(nn.Module):
             encoder_features.append(x)
 
         skips = encoder_features[:-1]  # bottleneck excluded from skips
+        aux_logits: List[jax.Array] = []
         for j, i in enumerate(range(len(feats) - 1, 0, -1)):
             x = UpBlock3D(
                 features=feats[i - 1],
@@ -80,11 +90,35 @@ class UNet3D(nn.Module):
                 dtype=self.dtype,
                 name=f"up{j}",
             )(x, skips[i - 1], train)
+            if self.deep_supervision and i > 1:
+                # aux head params must exist regardless of `train` so the
+                # init-time tree matches the train-time tree; at inference
+                # the unused results are dead code to XLA
+                aux_logits.append(
+                    nn.Conv(
+                        self.out_channels,
+                        (1, 1, 1),
+                        dtype=jnp.float32,
+                        name=f"ds_head{j}",
+                    )(x.astype(jnp.float32))
+                )
 
         x = Dropout3D(self.dropout)(x, train)
         logits = nn.Conv(
             self.out_channels, (1, 1, 1), dtype=jnp.float32, name="out_conv"
         )(x.astype(jnp.float32))
+
+        if self.deep_supervision and train and aux_logits:
+            from multimodal_organ_segmentation_tpu.ops.resize import resize_linear
+
+            full = tuple(logits.shape[1:4])
+            # finest aux first (highest weight under the trainer's 2^-k rule)
+            outs = [logits] + [
+                resize_linear(a, full, (1, 2, 3)) for a in reversed(aux_logits)
+            ]
+            if capture:
+                return outs, encoder_features
+            return outs
 
         if capture:
             return logits, encoder_features
@@ -106,6 +140,9 @@ def build_unet3d(config, dtype=jnp.float32) -> UNet3D:
         dtype=dtype,
         enable_perturb=bool(config.get("model.enable_perturb", False)),
         tp_axis=_config_tp_axis(config),
+        deep_supervision=(
+            str(config.get("model.head.type", "conv")) == "deep_supervision"
+        ),
     )
 
 

@@ -83,7 +83,11 @@ class InferenceService:
         self.modalities = list(config.get("data.modalities", ["CT", "PET"]))
         trainer.init_state(np.zeros((*roi, len(self.modalities)), np.float32))
         trainer.load_params(checkpoint_path)
-        self._variables = {"params": trainer.state.params, **trainer.state.extra}
+        # _infer_params: the EMA weights when the checkpoint carries them
+        # (same selection rule as batch predict/eval)
+        self._variables = {
+            "params": trainer._infer_params(), **trainer.state.extra
+        }
 
         sw_cfg = config.get("inference.sliding_window", {}) or {}
         dp_mesh = None

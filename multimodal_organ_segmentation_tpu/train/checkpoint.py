@@ -89,8 +89,30 @@ def load_checkpoint(path, target: Optional[Any] = None) -> Dict[str, Any]:
             tree_path, args=ocp.args.PyTreeRestore(item=item, restore_args=restore_args)
         )
 
+    def _restore_with_target(item):
+        """Orbax rejects any item/on-disk structure mismatch. The one
+        mismatch that must stay loadable is the optional ``ema_params``
+        field of a train state (``training.ema_decay`` toggled between
+        writing and reading): retry with the opposite EMA structure —
+        checkpoints carrying EMA restore it even when the caller's target
+        didn't ask; EMA-less checkpoints restore with ``ema_params=None``.
+        Callers inspect the result and apply their own policy."""
+        try:
+            return _as_numpy_restore(item)
+        except ValueError as e:
+            if not (
+                hasattr(item, "ema_params")
+                and hasattr(item, "replace")
+                and "ema_params" in str(e)
+            ):
+                raise  # a genuine mismatch — don't misdirect it at EMA
+            if item.ema_params is None:
+                # the EMA tree mirrors the params tree by construction
+                return _as_numpy_restore(item.replace(ema_params=item.params))
+            return _as_numpy_restore(item.replace(ema_params=None))
+
     if target is not None:
-        tree = _as_numpy_restore(target)
+        tree = _restore_with_target(target)
     else:
         try:
             meta_tree = ckptr.metadata(tree_path)

@@ -181,3 +181,25 @@ def get_loss(config) -> LossFn:
     return lambda logits, labels: dice_ce_loss(
         logits, labels, dice_weight=dw, ce_weight=cew, class_weights=class_weights
     )
+
+
+def with_deep_supervision(loss_fn: LossFn) -> LossFn:
+    """Wrap a ``(logits, labels)`` loss so it also accepts a LIST of
+    multi-scale logits ``[main, aux_fine, ..., aux_coarse]`` (all upsampled
+    to the label grid): the nnU-Net-weighted sum ``Σ 2^-k · L_k / Σ 2^-k``.
+    Single-array logits pass through untouched, so the same wrapped loss
+    serves both the deep-supervision train path and the (always
+    single-output) eval path. The reference ships DeepSupervisionHead as
+    dead code (segmentation.py:62-115 — never reached by the trainer); here
+    ``model.head.type: deep_supervision`` actually trains with it."""
+
+    def wrapped(logits, labels):
+        if isinstance(logits, (list, tuple)):
+            weights = [0.5**i for i in range(len(logits))]
+            total = sum(
+                w * loss_fn(lg, labels) for w, lg in zip(weights, logits)
+            )
+            return total / sum(weights)
+        return loss_fn(logits, labels)
+
+    return wrapped

@@ -188,6 +188,98 @@ class HausdorffDistance:
         }
 
 
+def _boundary_voxels(mask: np.ndarray) -> np.ndarray:
+    """6-connected boundary of a binary mask: mask voxels with at least one
+    face-neighbor outside the mask (volume edges count as outside)."""
+    if not mask.any():
+        return np.zeros_like(mask)
+    padded = np.pad(mask, 1, constant_values=False)
+    inner = tuple(slice(1, -1) for _ in range(mask.ndim))
+    core = mask.copy()
+    for ax in range(mask.ndim):
+        for off in (-1, 1):
+            s = list(inner)
+            s[ax] = slice(1 + off, padded.shape[ax] - 1 + off)
+            core &= padded[tuple(s)]
+    return mask & ~core
+
+
+class SurfaceDice:
+    """Normalized Surface Dice (NSD) at a tolerance in mm.
+
+    The boundary-agreement metric of the DeepMind surface-distance
+    protocol: the fraction of each segmentation's surface lying within
+    ``tolerance_mm`` of the other's surface,
+    ``(|S_p: d(·, S_g) ≤ τ| + |S_g: d(·, S_p) ≤ τ|) / (|S_p| + |S_g|)``.
+    Complements volume-overlap Dice with boundary fidelity — clinically
+    what contour review actually checks. Distances use the same native C++
+    EDT (native/edt.cc) as ``HausdorffDistance``, with anisotropic voxel
+    spacing. The reference has no surface metric (src/trainer/metrics.py
+    stops at Dice/HD/confusion)."""
+
+    def __init__(
+        self,
+        num_classes: int,
+        tolerance_mm: float = 2.0,
+        include_background: bool = False,
+    ):
+        self.num_classes = num_classes
+        self.tolerance_mm = float(tolerance_mm)
+        self.include_background = include_background
+        self.reset()
+
+    def reset(self) -> None:
+        self._scores: list = [[] for _ in range(self.num_classes)]
+
+    @staticmethod
+    def _nsd_binary(pred_m, gt_m, spacing, tol: float) -> float:
+        bp = _boundary_voxels(pred_m)
+        bg = _boundary_voxels(gt_m)
+        n_p, n_g = int(bp.sum()), int(bg.sum())
+        if n_p == 0 and n_g == 0:
+            return 1.0  # both empty: perfect agreement
+        if n_p == 0 or n_g == 0:
+            return 0.0
+        dist_to_gt = _distance_transform(bg, spacing)
+        dist_to_pred = _distance_transform(bp, spacing)
+        agree = int((dist_to_gt[bp] <= tol).sum()) + int(
+            (dist_to_pred[bg] <= tol).sum()
+        )
+        return agree / (n_p + n_g)
+
+    def update(
+        self,
+        pred,
+        target,
+        spacing: Optional[Tuple[float, float, float]] = None,
+    ) -> None:
+        pred = np.asarray(pred)
+        target = np.asarray(target)
+        spacing = spacing or (1.0, 1.0, 1.0)
+        start = 0 if self.include_background else 1
+        for b in range(pred.shape[0]):
+            for c in range(start, self.num_classes):
+                gt_m = target[b] == c
+                pred_m = pred[b] == c
+                if not gt_m.any() and not pred_m.any():
+                    continue  # class absent from this case: no evidence
+                self._scores[c].append(
+                    self._nsd_binary(pred_m, gt_m, spacing, self.tolerance_mm)
+                )
+
+    def compute(self) -> Dict[str, Any]:
+        per_class = [
+            float(np.mean(s)) if s else float("nan") for s in self._scores
+        ]
+        start = 0 if self.include_background else 1
+        seen = [s for s in per_class[start:] if not np.isnan(s)]
+        return {
+            "surface_dice": float(np.mean(seen)) if seen else float("nan"),
+            "surface_dice_per_class": per_class,
+            "surface_dice_tolerance_mm": self.tolerance_mm,
+        }
+
+
 def get_metrics(config) -> Dict[str, Any]:
     """Metric factory (reference: metrics.py:229-244)."""
     num_classes = int(config.get("model.out_channels", 8))

@@ -24,11 +24,16 @@ import optax
 
 
 def make_optimizer(config) -> optax.GradientTransformation:
-    """Build the optax optimizer with an injectable learning rate."""
+    """Build the optax optimizer with an injectable learning rate.
+
+    ``training.grad_clip_norm`` > 0 prepends global-norm gradient clipping
+    (``optax.clip_by_global_norm``) — the standard stabilizer for large-ROI
+    3D segmentation; the reference has no clipping at all."""
     opt_cfg = config.get("training.optimizer", {}) or {}
     name = str(opt_cfg.get("name", "adamw")).lower()
     lr = float(opt_cfg.get("lr", 1e-4))
     wd = float(opt_cfg.get("weight_decay", 0) or 0)
+    clip = float(config.get("training.grad_clip_norm", 0.0) or 0.0)
 
     if name == "adam":
         # torch Adam's weight_decay is L2-added-to-grad, not decoupled
@@ -50,6 +55,17 @@ def make_optimizer(config) -> optax.GradientTransformation:
 
         def base(learning_rate):
             return optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=wd)
+
+    # ALWAYS chain a leading stage (identity when clipping is off): both
+    # clip_by_global_norm and identity carry EmptyState, so the opt-state
+    # pytree structure is invariant to the grad_clip_norm setting — a
+    # checkpoint written with clipping on restores with it off and vice
+    # versa (orbax hard-fails on any structure change)
+    inner = base
+
+    def base(learning_rate):
+        head = optax.clip_by_global_norm(clip) if clip > 0 else optax.identity()
+        return optax.chain(head, inner(learning_rate))
 
     return optax.inject_hyperparams(base)(learning_rate=lr)
 

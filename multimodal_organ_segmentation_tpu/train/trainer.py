@@ -47,7 +47,10 @@ from multimodal_organ_segmentation_tpu.train.checkpoint import (
     CheckpointPolicy,
     load_checkpoint,
 )
-from multimodal_organ_segmentation_tpu.train.losses import get_loss
+from multimodal_organ_segmentation_tpu.train.losses import (
+    get_loss,
+    with_deep_supervision,
+)
 from multimodal_organ_segmentation_tpu.train.metrics import get_metrics
 from multimodal_organ_segmentation_tpu.train.optim import (
     LRScheduler,
@@ -64,11 +67,26 @@ class TrainState:
     params: Any
     opt_state: Any
     extra: Any  # mutable collections (e.g. batch_stats); {} if none
+    # EMA of params (None when training.ema_decay is 0/unset). Kept in the
+    # state so checkpoints carry it and the update runs in-jit.
+    ema_params: Any = None
+
+
+def select_infer_params(tree: "TrainState", config):
+    """The weights inference-like consumers run on: the EMA tree when the
+    checkpoint carries one and ``training.ema_eval`` (default true), else
+    the raw params. ONE rule shared by eval/predict/serve/export/explain —
+    divergence here would mean exporting different weights than you
+    evaluated."""
+    ema = getattr(tree, "ema_params", None)
+    if ema is not None and bool(config.get("training.ema_eval", True)):
+        return ema
+    return tree.params
 
 
 def make_train_step(
     model, tx, loss_fn: Callable, accum_steps: int, opt_constraint=None,
-    skip_nonfinite: bool = False,
+    skip_nonfinite: bool = False, ema_decay: Optional[float] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -83,6 +101,11 @@ def make_train_step(
     so the host loop can log it. (The reference's fp16 GradScaler skips
     steps on inf/nan scaling; bf16 needs no scaler, but spike protection
     is still wanted — torch.cuda.amp semantics, trainer.py:237-258.)
+    ``ema_decay`` maintains ``state.ema_params`` as an exponential moving
+    average of the params (``e ← d·e + (1−d)·p``, initialized to the
+    initial params so no debias term is needed) — one fused elementwise op
+    per step; eval/predict can then run on the smoothed weights. The
+    reference has no weight averaging.
     """
 
     def loss_for(params, extra, img, lbl, key):
@@ -140,8 +163,24 @@ def make_train_step(
             opt_state = keep(opt_state, state.opt_state)
             extra = keep(extra, state.extra)
             metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
+        ema_params = state.ema_params
+        if ema_decay is not None and state.ema_params is not None:
+            d = jnp.float32(ema_decay)
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: (e * d + p.astype(jnp.float32) * (1.0 - d)).astype(
+                    e.dtype
+                ),
+                state.ema_params,
+                params,
+            )
+            if skip_nonfinite:
+                # a skipped step must leave the EMA untouched too
+                ema_params = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(ok, n, o), ema_params, state.ema_params
+                )
         new_state = TrainState(
-            step=state.step + 1, params=params, opt_state=opt_state, extra=extra
+            step=state.step + 1, params=params, opt_state=opt_state, extra=extra,
+            ema_params=ema_params,
         )
         return new_state, metrics
 
@@ -204,7 +243,9 @@ class Trainer:
         self.val_loader = val_loader
 
         self.model = model if model is not None else build_model(config)
-        self.loss_fn = get_loss(config)
+        # the wrapper is pass-through for single-output models and applies
+        # 2^-k scale weights when the model trains with deep supervision
+        self.loss_fn = with_deep_supervision(get_loss(config))
         self.num_classes = int(config.get("model.out_channels", 8))
         self.epochs = int(config.get("training.epochs", 300))
         self.accum_steps = max(1, int(config.get("training.accumulation_steps", 1)))
@@ -253,6 +294,17 @@ class Trainer:
 
     # -- state ------------------------------------------------------------
 
+    def _ema_decay(self) -> Optional[float]:
+        """``training.ema_decay`` > 0 turns on in-jit EMA weight averaging."""
+        d = float(self.config.get("training.ema_decay", 0.0) or 0.0)
+        if not (0.0 < d < 1.0):
+            return None
+        return d
+
+    def _infer_params(self):
+        """Params used for eval/inference — see ``select_infer_params``."""
+        return select_infer_params(self.state, self.config)
+
     def _zero1_active(self) -> bool:
         """ZeRO-1 optimizer-state sharding: on when ``parallel.zero1`` is
         set and the mesh has a non-trivial data axis."""
@@ -282,9 +334,13 @@ class Trainer:
         if pretrained and not self._resume_from:
             params = self._import_pretrained(str(pretrained), params)
         opt_state = self.tx.init(params)
+        ema = None
+        if self._ema_decay() is not None:
+            # EMA starts AT the initial params (no debias term needed)
+            ema = jax.tree_util.tree_map(jnp.copy, params)
         state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
-            opt_state=opt_state, extra=extra,
+            opt_state=opt_state, extra=extra, ema_params=ema,
         )
         if self.mesh is not None:
             state = replicate_tree(state, self.mesh)
@@ -325,7 +381,50 @@ class Trainer:
 
     def resume(self, path) -> None:
         ckpt = load_checkpoint(path, target=self.state)
-        self.state = ckpt["tree"]
+        tree = ckpt["tree"]
+        # reconcile the checkpoint's EMA with this run's config (the
+        # tolerant loader restores whatever structure exists on disk)
+        want_ema = self.state.ema_params is not None
+        have_ema = getattr(tree, "ema_params", None) is not None
+        if want_ema and not have_ema:
+            # pre-EMA checkpoint: restart the EMA at the restored weights
+            # (same rule as a fresh init)
+            tree = tree.replace(
+                ema_params=jax.tree_util.tree_map(np.copy, tree.params)
+            )
+            if self.logger:
+                self.logger.warning(
+                    "checkpoint has no EMA params; EMA restarted at the "
+                    "restored weights"
+                )
+        elif have_ema and not want_ema:
+            # EMA was turned off for this run: a stale EMA would never be
+            # updated again but would silently drive eval — drop it
+            tree = tree.replace(ema_params=None)
+            if self.logger:
+                self.logger.info(
+                    "checkpoint carries EMA params but training.ema_decay "
+                    "is 0 — ignoring them for this run"
+                )
+        self.state = tree
+        if self.mesh is not None:
+            # checkpoints restore as host numpy (topology-independent);
+            # re-place explicitly: params replicated, optimizer moments
+            # re-sharded when ZeRO-1 is on (relying on the in-step
+            # constraint alone would replicate them for the first step).
+            # The moments go host→device DIRECTLY with their sharded spec —
+            # replicating first and re-sharding after would transiently
+            # materialize the full unsharded Adam state on every chip,
+            # exactly the memory ZeRO-1 exists to avoid.
+            opt_state = self.state.opt_state
+            rest = replicate_tree(
+                self.state.replace(opt_state=None), self.mesh
+            )
+            if self._zero1_active():
+                opt_state = shard_opt_state(opt_state, self.mesh)
+            else:
+                opt_state = replicate_tree(opt_state, self.mesh)
+            self.state = rest.replace(opt_state=opt_state)
         meta = ckpt.get("meta", {}) or {}
         step_in_epoch = int(meta.get("step_in_epoch", 0))
         if step_in_epoch > 0:
@@ -354,7 +453,11 @@ class Trainer:
             )
 
     def load_params(self, path) -> None:
-        """Load params-only (eval/inference from a checkpoint)."""
+        """Load params-only (eval/inference from a checkpoint).
+
+        EMA follows the checkpoint, not the config: a checkpoint trained
+        with EMA evaluates on its smoothed weights (``training.ema_eval``
+        still opts out), one without evaluates on the raw weights."""
         if self.state is None:
             raise RuntimeError("call init_state first")
         ckpt = load_checkpoint(path, target=self.state)
@@ -439,6 +542,7 @@ class Trainer:
                 skip_nonfinite=bool(
                     self.config.get("training.skip_nonfinite_updates", False)
                 ),
+                ema_decay=self._ema_decay(),
             )
 
         profile_dir = self.config.get("hardware.profile_dir")
@@ -613,11 +717,11 @@ class Trainer:
                 images = jax.device_put(images, bspec(images.ndim))
                 labels = jax.device_put(labels, bspec(labels.ndim))
                 loss, preds, i, u = self._eval_step(
-                    self.state.params, self.state.extra, images, labels, b
+                    self._infer_params(), self.state.extra, images, labels, b
                 )
             else:
                 loss, preds, i, u = self._eval_step(
-                    self.state.params, self.state.extra, images, labels
+                    self._infer_params(), self.state.extra, images, labels
                 )
             total += float(loss)
             count += 1
@@ -655,6 +759,7 @@ class Trainer:
         from multimodal_organ_segmentation_tpu.train.metrics import (
             DiceMetric,
             HausdorffDistance,
+            SurfaceDice,
         )
 
         loader = loader if loader is not None else self.val_loader
@@ -686,10 +791,16 @@ class Trainer:
             mesh=dp_mesh,
         )
 
-        variables = {"params": self.state.params, **self.state.extra}
+        variables = {"params": self._infer_params(), **self.state.extra}
         dice = DiceMetric(self.num_classes)
         hd = HausdorffDistance(
             percentile=float(self.config.get("evaluation.hd_percentile", 95))
+        )
+        nsd = SurfaceDice(
+            self.num_classes,
+            tolerance_mm=float(
+                self.config.get("evaluation.surface_dice_tolerance_mm", 2.0)
+            ),
         )
         n_cases = 0
         for batch in loader:
@@ -709,6 +820,7 @@ class Trainer:
                         )
                 dice.update(pred[None], labels[b][None])
                 hd.update(pred[None], labels[b][None], spacing=spacing)
+                nsd.update(pred[None], labels[b][None], spacing=spacing)
                 n_cases += 1
 
         metrics: Dict[str, Any] = dice.compute()
@@ -716,6 +828,7 @@ class Trainer:
         metrics["hd95"] = hd_m.get("hausdorff_distance")
         if "hausdorff_distance_std" in hd_m:
             metrics["hd95_std"] = hd_m["hausdorff_distance_std"]
+        metrics.update(nsd.compute())
         metrics["num_cases"] = n_cases
         return metrics
 
@@ -759,7 +872,7 @@ class Trainer:
         if self.logger:
             self.logger.info(f"Found {len(cases)} cases under {input_path}")
 
-        variables = {"params": self.state.params, **self.state.extra}
+        variables = {"params": self._infer_params(), **self.state.extra}
         predict_fn = self._predict_fn
 
         # serving engine: shape-bucketed (one compile per tile-count bucket

@@ -125,6 +125,9 @@ class TestFullPipeline:
         assert 0.0 <= metrics["dice"] <= 1.0
         assert len(metrics["dice_per_class"]) == 4
         assert metrics["hd95"] is not None
+        # NSD rides the same pass (boundary metric; reference has none)
+        assert 0.0 <= metrics["surface_dice"] <= 1.0
+        assert len(metrics["surface_dice_per_class"]) == 4
         assert metrics["num_cases"] == 2
 
     def test_4_inference(self, workdir, monkeypatch):

@@ -9,6 +9,7 @@ from multimodal_organ_segmentation_tpu.train.metrics import (
     ConfusionMatrix,
     DiceMetric,
     HausdorffDistance,
+    SurfaceDice,
     get_metrics,
 )
 from multimodal_organ_segmentation_tpu.utils.config import ConfigNode
@@ -93,6 +94,68 @@ def test_hausdorff_empty():
     m = HausdorffDistance()
     m.update(np.zeros((1, 4, 4, 4)), np.ones((1, 4, 4, 4)))
     assert m.compute()["hausdorff_distance"] == float("inf")
+
+
+class TestSurfaceDice:
+    """NSD semantics (DeepMind surface-distance protocol); the reference
+    has no surface metric, so these are behavioral contracts, not parity."""
+
+    def _cube(self, shape=(16, 16, 16), lo=4, hi=10, shift=0):
+        m = np.zeros((1,) + shape, np.int64)
+        m[0, lo + shift : hi + shift, lo:hi, lo:hi] = 1
+        return m
+
+    def test_identical_masks_score_one(self):
+        m = SurfaceDice(num_classes=2, tolerance_mm=1.0)
+        cube = self._cube()
+        m.update(cube, cube)
+        assert m.compute()["surface_dice"] == pytest.approx(1.0)
+
+    def test_one_voxel_shift_within_tolerance(self):
+        m = SurfaceDice(num_classes=2, tolerance_mm=1.0)
+        m.update(self._cube(shift=1), self._cube())
+        assert m.compute()["surface_dice"] == pytest.approx(1.0)
+
+    def test_one_voxel_shift_beyond_tight_tolerance(self):
+        m = SurfaceDice(num_classes=2, tolerance_mm=0.5)
+        m.update(self._cube(shift=1), self._cube())
+        s = m.compute()["surface_dice"]
+        assert 0.0 < s < 1.0
+
+    def test_spacing_scales_distances(self):
+        # 1-voxel shift at 2 mm spacing = 2 mm surface distance
+        tight = SurfaceDice(num_classes=2, tolerance_mm=1.0)
+        tight.update(self._cube(shift=1), self._cube(), spacing=(2.0, 2.0, 2.0))
+        loose = SurfaceDice(num_classes=2, tolerance_mm=2.0)
+        loose.update(self._cube(shift=1), self._cube(), spacing=(2.0, 2.0, 2.0))
+        assert tight.compute()["surface_dice"] < 1.0
+        assert loose.compute()["surface_dice"] == pytest.approx(1.0)
+
+    def test_missed_structure_scores_zero(self):
+        m = SurfaceDice(num_classes=2, tolerance_mm=1.0)
+        m.update(np.zeros((1, 16, 16, 16), np.int64), self._cube())
+        assert m.compute()["surface_dice"] == 0.0
+
+    def test_absent_class_is_not_scored(self):
+        # class 2 appears in neither volume → nan per-class, excluded from mean
+        m = SurfaceDice(num_classes=3, tolerance_mm=1.0)
+        cube = self._cube()
+        m.update(cube, cube)
+        out = m.compute()
+        assert np.isnan(out["surface_dice_per_class"][2])
+        assert out["surface_dice"] == pytest.approx(1.0)
+
+    def test_multiclass_mean(self):
+        # class 1 perfect, class 2 missed entirely → mean 0.5
+        pred = self._cube()
+        target = self._cube()
+        target[0, 12:14, 12:14, 12:14] = 2
+        m = SurfaceDice(num_classes=3, tolerance_mm=0.5)
+        m.update(pred, target)
+        out = m.compute()
+        assert out["surface_dice_per_class"][1] == pytest.approx(1.0)
+        assert out["surface_dice_per_class"][2] == 0.0
+        assert out["surface_dice"] == pytest.approx(0.5)
 
 
 def test_get_metrics_factory():

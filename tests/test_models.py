@@ -168,6 +168,82 @@ class TestSwinUNETR:
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+class TestDeepSupervision:
+    """model.head.type=deep_supervision actually TRAINS (both the
+    reference and earlier rounds shipped DeepSupervisionHead as dead
+    code): training returns [main, aux...] at full res, inference returns
+    the single main logits unchanged."""
+
+    def test_unet3d_train_outputs(self):
+        model = UNet3D(out_channels=3, features=(4, 8, 16), deep_supervision=True)
+        x = jnp.zeros((1, 16, 16, 16, 1))
+        variables = model.init(jax.random.key(0), x, train=False)
+        outs = model.apply(
+            variables, x, train=True, rngs={"dropout": jax.random.key(1)}
+        )
+        assert isinstance(outs, list) and len(outs) == 2  # main + 1 aux
+        for o in outs:
+            assert o.shape == (1, 16, 16, 16, 3)
+        # inference: single full-res array, identical params tree
+        single = model.apply(variables, x, train=False)
+        assert single.shape == (1, 16, 16, 16, 3)
+        assert "ds_head0" in variables["params"]
+
+    def test_swin_unetr_train_outputs(self):
+        model = SwinUNETR(
+            out_channels=4, feature_size=4, depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 2, 4), window_size=(2, 2, 2),
+            deep_supervision=True,
+        )
+        x = jnp.zeros((1, 32, 32, 32, 2))
+        variables = model.init(jax.random.key(0), x, train=False)
+        outs = model.apply(
+            variables, x, train=True, rngs={"dropout": jax.random.key(1)}
+        )
+        assert isinstance(outs, list) and len(outs) == 3  # main + /2 + /4
+        for o in outs:
+            assert o.shape == (1, 32, 32, 32, 4)
+        single = model.apply(variables, x, train=False)
+        assert single.shape == (1, 32, 32, 32, 4)
+
+    def test_loss_wrapper_weighting(self):
+        from multimodal_organ_segmentation_tpu.train.losses import (
+            dice_ce_loss,
+            with_deep_supervision,
+        )
+
+        rng = np.random.default_rng(0)
+        l1 = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 3)), jnp.float32)
+        l2 = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 3)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 3, size=(1, 8, 8, 8)), jnp.int32)
+        base = lambda lg, lb: dice_ce_loss(lg, lb)
+        wrapped = with_deep_supervision(base)
+        expected = (base(l1, labels) + 0.5 * base(l2, labels)) / 1.5
+        assert float(wrapped([l1, l2], labels)) == pytest.approx(
+            float(expected), rel=1e-6
+        )
+        # single-array pass-through
+        assert float(wrapped(l1, labels)) == pytest.approx(
+            float(base(l1, labels)), rel=1e-6
+        )
+
+    def test_monai_compat_guard(self):
+        from multimodal_organ_segmentation_tpu.models.swin_unetr import (
+            build_swin_unetr,
+        )
+
+        cfg = ConfigNode(
+            {
+                "model": {
+                    "head": {"type": "deep_supervision"},
+                    "backbone": {"monai_compat": True},
+                }
+            }
+        )
+        with pytest.raises(ValueError, match="deep_supervision"):
+            build_swin_unetr(cfg)
+
+
 class TestDualEncoder:
     @pytest.mark.parametrize(
         "fusion_type",

@@ -230,6 +230,43 @@ class TestZero1:
         for p in jax.tree_util.tree_leaves(t.state.params):
             assert p.sharding.is_fully_replicated
 
+    def test_resume_replaces_zero1_sharding(self, tmp_path):
+        """Checkpoints restore as host numpy; resume must re-place params
+        replicated and the Adam moments ZeRO-1-sharded (not leave numpy
+        leaves for jit to place replicated on first use)."""
+        from multimodal_organ_segmentation_tpu.train.checkpoint import (
+            save_checkpoint,
+        )
+        from multimodal_organ_segmentation_tpu.train.trainer import Trainer
+        from multimodal_organ_segmentation_tpu.utils.config import default_config
+
+        def make_cfg():
+            cfg = default_config()
+            cfg.set("model.name", "unet3d")
+            cfg.set("model.backbone.features", [8, 16])
+            cfg.set("model.out_channels", 3)
+            cfg.set("data.modalities", ["CT"])
+            cfg.set("parallel.zero1", True)
+            cfg.set("experiment.output_dir", str(tmp_path))
+            return cfg
+
+        t = Trainer(make_cfg(), mesh=make_mesh(None))
+        t.init_state(np.zeros((8, 8, 8, 1), np.float32))
+        save_checkpoint(t.state, tmp_path / "last", epoch=0)
+
+        t2 = Trainer(
+            make_cfg(), mesh=make_mesh(None), resume_from=str(tmp_path / "last")
+        )
+        t2.init_state(np.zeros((8, 8, 8, 1), np.float32))
+        leaves = [
+            x for x in jax.tree_util.tree_leaves(t2.state.opt_state)
+            if hasattr(x, "sharding") and getattr(x, "ndim", 0) > 0
+            and x.shape[-1] % 8 == 0
+        ]
+        assert leaves and all(not x.sharding.is_fully_replicated for x in leaves)
+        for p in jax.tree_util.tree_leaves(t2.state.params):
+            assert hasattr(p, "sharding") and p.sharding.is_fully_replicated
+
 
 class TestTensorParallel:
     """Channel-sharding TP on the flagship (VERDICT round-1 item 7)."""

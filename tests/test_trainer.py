@@ -81,6 +81,36 @@ class TestSchedulers:
         assert s.lr_for_epoch(2, 0.4) == 1.0  # bad 1 <= patience
         assert s.lr_for_epoch(3, 0.4) == pytest.approx(0.1)  # bad 2 → cut
 
+    def test_grad_clip_norm(self):
+        """training.grad_clip_norm bounds the global update norm (sgd,
+        lr=1, no momentum → update = −clipped grad)."""
+        cfg = default_config()
+        cfg.set("training.optimizer.name", "sgd")
+        cfg.set("training.optimizer.lr", 1.0)
+        cfg.set("training.optimizer.momentum", 0.0)
+        cfg.set("training.grad_clip_norm", 0.5)
+        tx = make_optimizer(cfg)
+        params = {"w": jnp.zeros((4,)), "b": jnp.zeros((2,))}
+        state = tx.init(params)
+        g = {"w": jnp.full((4,), 100.0), "b": jnp.full((2,), 100.0)}
+        updates, _ = tx.update(g, state, params)
+        norm = float(
+            jnp.sqrt(sum(jnp.sum(u**2) for u in jax.tree_util.tree_leaves(updates)))
+        )
+        assert norm == pytest.approx(0.5, rel=1e-5)
+        # direction preserved
+        assert float(updates["w"][0]) < 0
+        # toggling the clip must NOT change the opt-state pytree structure
+        # (orbax checkpoints hard-fail on any structure change)
+        cfg_off = default_config()
+        cfg_off.set("training.optimizer.name", "sgd")
+        cfg_off.set("training.optimizer.lr", 1.0)
+        cfg_off.set("training.optimizer.momentum", 0.0)
+        tx_off = make_optimizer(cfg_off)
+        assert jax.tree_util.tree_structure(
+            tx_off.init(params)
+        ) == jax.tree_util.tree_structure(state)
+
     def test_optimizers_build(self):
         for name in ["adam", "adamw", "sgd"]:
             cfg = default_config()
@@ -115,6 +145,27 @@ class TestEndToEnd:
         assert (out / "last" / "meta.json").exists()
         assert (out / "best" / "meta.json").exists()
         assert (out / "epoch_2" / "meta.json").exists()
+
+    def test_train_with_deep_supervision(self, tiny_cfg):
+        """model.head.type=deep_supervision trains end-to-end: multi-scale
+        loss in the train step, single-output eval unchanged."""
+        cfg = tiny_cfg.copy()
+        cfg.set("model.head.type", "deep_supervision")
+        cfg.set("model.backbone.features", [8, 16, 32])  # ≥3 → has aux heads
+        cfg.set("training.epochs", 2)
+        out = Path(cfg.get("experiment.output_dir")).parent / "ds_run"
+        cfg.set("experiment.output_dir", str(out))
+        t = Trainer(
+            cfg,
+            train_loader=get_dataloader(cfg, split="train"),
+            val_loader=get_dataloader(cfg, split="val"),
+        )
+        history = t.train()
+        assert all(np.isfinite(v) for v in history["train_loss"])
+        assert history["train_loss"][-1] < history["train_loss"][0]
+        assert "ds_head0" in t.state.params["backbone"]
+        m = t.evaluate()
+        assert 0.0 <= m["dice"] <= 1.0
 
     def test_resume_roundtrip(self, tiny_cfg):
         cfg = tiny_cfg.copy()
@@ -254,6 +305,199 @@ class TestSkipNonfinite:
             history = t.train()
         assert any("update skipped" in r.message for r in caplog.records)
         assert np.isfinite(history["train_loss"][0])
+
+
+class TestEMA:
+    def _setup(self, ema_decay=0.5, skip_nonfinite=False):
+        from multimodal_organ_segmentation_tpu.models.unet3d import UNet3D
+        from multimodal_organ_segmentation_tpu.train.losses import dice_ce_loss
+        from multimodal_organ_segmentation_tpu.train.trainer import (
+            TrainState,
+            make_train_step,
+        )
+
+        model = UNet3D(out_channels=3, features=(4, 8))
+        cfg = default_config()
+        cfg.set("training.optimizer.name", "sgd")
+        cfg.set("training.optimizer.lr", 0.1)
+        tx = make_optimizer(cfg)
+        x0 = jnp.zeros((1, 8, 8, 8, 1))
+        variables = dict(model.init(jax.random.key(0), x0, train=False))
+        params = variables.pop("params")
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), extra={},
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        )
+        step = make_train_step(
+            model, tx, lambda lg, lb: dice_ce_loss(lg, lb),
+            accum_steps=1, ema_decay=ema_decay,
+            skip_nonfinite=skip_nonfinite,
+        )
+        return state, step
+
+    def test_ema_matches_hand_computed(self):
+        """state.ema_params after k steps == the hand-rolled EMA of the
+        host-tracked param trajectory (e ← d·e + (1−d)·p, e₀ = p₀)."""
+        d = 0.5
+        state, step = self._setup(ema_decay=d)
+        ema_hand = jax.tree_util.tree_map(np.asarray, state.params)
+
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            img = rng.normal(size=(1, 2, 8, 8, 8, 1)).astype(np.float32)
+            lbl = rng.integers(0, 3, size=(1, 2, 8, 8, 8)).astype(np.int32)
+            state, _ = step(
+                state, jnp.asarray(img), jnp.asarray(lbl), jax.random.key(i)
+            )
+            p_host = jax.tree_util.tree_map(np.asarray, state.params)
+            ema_hand = jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1 - d), ema_hand, p_host
+            )
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ema_hand),
+            jax.tree_util.tree_leaves(state.ema_params),
+        ):
+            np.testing.assert_allclose(a, np.asarray(b), atol=1e-6)
+        # EMA lags the params (it is not just a copy)
+        diffs = [
+            np.abs(np.asarray(e) - np.asarray(p)).max()
+            for e, p in zip(
+                jax.tree_util.tree_leaves(state.ema_params),
+                jax.tree_util.tree_leaves(state.params),
+            )
+        ]
+        assert max(diffs) > 0
+
+    def test_skipped_step_leaves_ema_untouched(self):
+        state, step = self._setup(ema_decay=0.5, skip_nonfinite=True)
+        e0 = jax.tree_util.tree_map(np.asarray, state.ema_params)
+        rng = np.random.default_rng(0)
+        bad = np.full((1, 2, 8, 8, 8, 1), np.nan, np.float32)
+        lbl = rng.integers(0, 3, size=(1, 2, 8, 8, 8)).astype(np.int32)
+        state, m = step(state, jnp.asarray(bad), jnp.asarray(lbl), jax.random.key(1))
+        assert float(m["skipped"]) == 1.0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(e0),
+            jax.tree_util.tree_leaves(state.ema_params),
+        ):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+    def test_trainer_ema_eval_and_checkpoint_roundtrip(self, tiny_cfg):
+        """training.ema_decay wires EMA through Trainer: eval/predict use
+        the smoothed weights, checkpoints carry them, and resume restores
+        them."""
+        cfg = tiny_cfg.copy()
+        cfg.set("training.ema_decay", 0.9)
+        cfg.set("training.epochs", 1)
+        out = Path(cfg.get("experiment.output_dir")).parent / "ema_run"
+        cfg.set("experiment.output_dir", str(out))
+        t = Trainer(
+            cfg,
+            train_loader=get_dataloader(cfg, split="train"),
+            val_loader=get_dataloader(cfg, split="val"),
+        )
+        t.train()
+        assert t.state.ema_params is not None
+        # eval selects the EMA tree; the EMA genuinely differs from params
+        assert t._infer_params() is t.state.ema_params
+        diffs = [
+            np.abs(np.asarray(e) - np.asarray(p)).max()
+            for e, p in zip(
+                jax.tree_util.tree_leaves(t.state.ema_params),
+                jax.tree_util.tree_leaves(t.state.params),
+            )
+        ]
+        assert max(diffs) > 0
+        # ema_eval: false → raw weights
+        cfg.set("training.ema_eval", False)
+        assert t._infer_params() is t.state.params
+        cfg.set("training.ema_eval", True)
+
+        last = out / str(cfg.get("experiment.name")) / "last"
+        t2 = Trainer(
+            cfg,
+            train_loader=get_dataloader(cfg, split="train"),
+            resume_from=str(last),
+        )
+        first = next(iter(t2.train_loader))
+        t2.init_state(np.asarray(first["image"][0]))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t.state.ema_params),
+            jax.tree_util.tree_leaves(t2.state.ema_params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    def test_ema_checkpoint_into_non_ema_run(self, tiny_cfg, caplog):
+        """The other toggle direction: a checkpoint trained WITH EMA.
+        Resuming with EMA off drops the stale EMA (logged); loading for
+        eval keeps it — eval runs on the deployed (smoothed) weights."""
+        import logging
+
+        cfg = tiny_cfg.copy()
+        cfg.set("training.ema_decay", 0.9)
+        cfg.set("training.epochs", 1)
+        out = Path(cfg.get("experiment.output_dir")).parent / "ema_off_run"
+        cfg.set("experiment.output_dir", str(out))
+        t = Trainer(cfg, train_loader=get_dataloader(cfg, split="train"))
+        t.train()
+        last = out / str(cfg.get("experiment.name")) / "last"
+
+        cfg2 = cfg.copy()
+        cfg2.set("training.ema_decay", 0.0)
+        logger = logging.getLogger("test_ema_off")
+        t2 = Trainer(
+            cfg2,
+            train_loader=get_dataloader(cfg2, split="train"),
+            resume_from=str(last),
+            logger=logger,
+        )
+        first = next(iter(t2.train_loader))
+        with caplog.at_level(logging.INFO, logger="test_ema_off"):
+            t2.init_state(np.asarray(first["image"][0]))
+        assert t2.state.ema_params is None  # stale EMA dropped on resume
+        assert any("ignoring them" in r.message for r in caplog.records)
+
+        # eval-style load keeps the checkpoint's EMA regardless of config
+        t3 = Trainer(cfg2)
+        t3.init_state(np.asarray(first["image"][0]))
+        t3.load_params(str(last))
+        assert t3.state.ema_params is not None
+        assert t3._infer_params() is t3.state.ema_params
+
+    def test_resume_pre_ema_checkpoint_restarts_ema(self, tiny_cfg, caplog):
+        """Enabling EMA when resuming a pre-EMA checkpoint restarts the EMA
+        at the restored weights (with a warning) instead of failing."""
+        import logging
+
+        cfg = tiny_cfg.copy()
+        cfg.set("training.epochs", 1)
+        out = Path(cfg.get("experiment.output_dir")).parent / "pre_ema_run"
+        cfg.set("experiment.output_dir", str(out))
+        t = Trainer(cfg, train_loader=get_dataloader(cfg, split="train"))
+        t.train()
+        assert t.state.ema_params is None
+
+        cfg2 = cfg.copy()
+        cfg2.set("training.ema_decay", 0.9)
+        last = out / str(cfg.get("experiment.name")) / "last"
+        logger = logging.getLogger("test_pre_ema")
+        t2 = Trainer(
+            cfg2,
+            train_loader=get_dataloader(cfg2, split="train"),
+            resume_from=str(last),
+            logger=logger,
+        )
+        first = next(iter(t2.train_loader))
+        with caplog.at_level(logging.WARNING, logger="test_pre_ema"):
+            t2.init_state(np.asarray(first["image"][0]))
+        assert any("EMA restarted" in r.message for r in caplog.records)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t2.state.params),
+            jax.tree_util.tree_leaves(t2.state.ema_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 class TestTTA:
