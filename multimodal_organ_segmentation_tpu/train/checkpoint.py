@@ -129,15 +129,115 @@ def load_checkpoint(path, target: Optional[Any] = None) -> Dict[str, Any]:
     }
 
 
-class CheckpointPolicy:
-    """best/last/every-N saving policy."""
+class AsyncCheckpointWriter:
+    """One background worker serializing checkpoint writes off the train
+    loop.
 
-    def __init__(self, output_dir, config):
+    The loop pays only the device→host snapshot (unavoidable: the next
+    train step donates the state, so its buffers must be fetched before
+    they are overwritten); the atomic tmp-swap disk write happens on the
+    worker. Pending writes to the SAME path coalesce latest-wins — a slow
+    filesystem can never queue an unbounded backlog of ``last`` saves —
+    while distinct paths write in submission order. Worker errors surface
+    on the next ``submit()`` or on ``flush()``. The reference saves
+    synchronously inside its epoch loop (trainer.py:397-433)."""
+
+    def __init__(self):
+        import atexit
+        import threading
+
+        self._cond = threading.Condition()
+        self._pending: Dict[str, tuple] = {}
+        self._order: list = []
+        self._busy = False
+        self._error: Optional[BaseException] = None
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._worker, daemon=True, name="ckpt-writer"
+        )
+        self._thread.start()
+        # the worker is a daemon (it must never wedge interpreter exit on a
+        # hung filesystem); drain queued writes at exit instead of dropping
+        atexit.register(self._drain_at_exit)
+
+    def _worker(self) -> None:
+        while True:
+            with self._cond:
+                while not self._order and not self._closed:
+                    self._cond.wait()
+                if self._closed and not self._order:
+                    return
+                key = self._order.pop(0)
+                args, kwargs = self._pending.pop(key)
+                self._busy = True
+            try:
+                save_checkpoint(*args, **kwargs)
+            except BaseException as e:  # surfaced on next submit/flush
+                with self._cond:
+                    self._error = e
+            finally:
+                with self._cond:
+                    self._busy = False
+                    self._cond.notify_all()
+
+    def _drain_at_exit(self) -> None:
+        try:
+            self.flush()
+        except Exception:
+            pass  # exit path: nothing useful left to do with the error
+
+    def _raise_pending(self) -> None:
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise RuntimeError(f"async checkpoint write failed: {e}") from e
+
+    def submit(self, state_tree: Any, path, **meta) -> None:
+        """Snapshot ``state_tree`` to host numpy and queue the write."""
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return  # save_checkpoint would drop it anyway; skip the fetch
+        host = jax.tree_util.tree_map(np.asarray, state_tree)
+        key = str(Path(path).resolve())
+        with self._cond:
+            self._raise_pending()
+            if self._closed:
+                raise RuntimeError("AsyncCheckpointWriter is closed")
+            if key not in self._pending:
+                self._order.append(key)
+            self._pending[key] = ((host, path), meta)
+            self._cond.notify_all()
+
+    def flush(self) -> None:
+        """Block until every queued write has hit disk; re-raise errors."""
+        with self._cond:
+            while self._order or self._busy:
+                self._cond.wait()
+            self._raise_pending()
+
+    def close(self) -> None:
+        self.flush()
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._thread.join(timeout=60)
+
+
+class CheckpointPolicy:
+    """best/last/every-N saving policy; writes go through ``writer``
+    (async, off-loop) when one is provided."""
+
+    def __init__(self, output_dir, config, writer: Optional[AsyncCheckpointWriter] = None):
         ckpt_cfg = config.get("training.checkpoint", {}) or {}
         self.output_dir = ensure_dir(output_dir)
         self.save_best = bool(ckpt_cfg.get("save_best", True))
         self.save_last = bool(ckpt_cfg.get("save_last", True))
         self.save_every = int(ckpt_cfg.get("save_every", 10) or 0)
+        self.writer = writer
+
+    def _write(self, state_tree, path, **meta) -> None:
+        if self.writer is not None:
+            self.writer.submit(state_tree, path, **meta)
+        else:
+            save_checkpoint(state_tree, path, **meta)
 
     def save(
         self,
@@ -157,17 +257,17 @@ class CheckpointPolicy:
             is_best = metric >= best_metric
             best_metric = max(best_metric, metric)
         if self.save_last:
-            save_checkpoint(
+            self._write(
                 state_tree, self.output_dir / "last", epoch=epoch,
                 best_metric=best_metric, history=history,
             )
         if self.save_best and is_best:
-            save_checkpoint(
+            self._write(
                 state_tree, self.output_dir / "best", epoch=epoch,
                 best_metric=best_metric, history=history,
             )
         if self.save_every and (epoch + 1) % self.save_every == 0:
-            save_checkpoint(
+            self._write(
                 state_tree, self.output_dir / f"epoch_{epoch + 1}", epoch=epoch,
                 best_metric=best_metric, history=history,
             )

@@ -44,6 +44,7 @@ from multimodal_organ_segmentation_tpu.parallel.mesh import (
     zero1_constrainer,
 )
 from multimodal_organ_segmentation_tpu.train.checkpoint import (
+    AsyncCheckpointWriter,
     CheckpointPolicy,
     load_checkpoint,
 )
@@ -257,7 +258,16 @@ class Trainer:
             config.get("experiment.name", "exp")
         )
         self.output_dir = ensure_dir(out_dir)
-        self.ckpt = CheckpointPolicy(self.output_dir, config)
+        # training.checkpoint.async: true → writes happen on a background
+        # worker; the loop pays only the host snapshot (checkpoint.py)
+        self._ckpt_writer = (
+            AsyncCheckpointWriter()
+            if bool(config.get("training.checkpoint.async", False))
+            else None
+        )
+        self.ckpt = CheckpointPolicy(
+            self.output_dir, config, writer=self._ckpt_writer
+        )
 
         # mesh=None → auto (build one when >1 devices); mesh=False → force
         # single-device (no mesh)
@@ -596,6 +606,10 @@ class Trainer:
                     self.logger.info(f"Early stopping at epoch {epoch + 1}")
                 break
 
+        if self._ckpt_writer is not None:
+            # don't return before every queued write is on disk (writer
+            # errors surface here); an atexit hook covers crash paths
+            self._ckpt_writer.flush()
         return self.history
 
     def _train_epoch(self, lr: float) -> float:
@@ -655,7 +669,12 @@ class Trainer:
             step_in_epoch += 1
             self.last_step_losses.append(loss)
             if save_every_steps and step_in_epoch % save_every_steps == 0:
-                save_checkpoint(
+                _save = (
+                    self._ckpt_writer.submit
+                    if self._ckpt_writer is not None
+                    else save_checkpoint
+                )
+                _save(
                     self.state,
                     self.output_dir / "last_step",
                     epoch=self.current_epoch,

@@ -307,6 +307,83 @@ class TestSkipNonfinite:
         assert np.isfinite(history["train_loss"][0])
 
 
+class TestAsyncCheckpoint:
+    def test_async_write_matches_sync(self, tmp_path):
+        from multimodal_organ_segmentation_tpu.train.checkpoint import (
+            AsyncCheckpointWriter,
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        tree = {"w": np.arange(8, dtype=np.float32), "b": np.ones(3, np.float32)}
+        save_checkpoint(tree, tmp_path / "sync", epoch=3, best_metric=0.5)
+        w = AsyncCheckpointWriter()
+        w.submit(tree, tmp_path / "async", epoch=3, best_metric=0.5)
+        w.flush()
+        a = load_checkpoint(tmp_path / "async")
+        s = load_checkpoint(tmp_path / "sync")
+        assert a["epoch"] == s["epoch"] == 3
+        np.testing.assert_array_equal(a["tree"]["w"], s["tree"]["w"])
+        w.close()
+
+    def test_same_path_coalesces_latest_wins(self, tmp_path):
+        from multimodal_organ_segmentation_tpu.train.checkpoint import (
+            AsyncCheckpointWriter,
+            load_checkpoint,
+        )
+
+        w = AsyncCheckpointWriter()
+        for i in range(5):
+            w.submit({"v": np.full(4, i, np.float32)}, tmp_path / "last", epoch=i)
+        w.flush()
+        out = load_checkpoint(tmp_path / "last")
+        # queued writes to one path collapse; the LAST snapshot is on disk
+        assert out["epoch"] == 4
+        np.testing.assert_array_equal(out["tree"]["v"], np.full(4, 4, np.float32))
+        w.close()
+
+    def test_worker_error_surfaces_on_flush(self, tmp_path):
+        from multimodal_organ_segmentation_tpu.train.checkpoint import (
+            AsyncCheckpointWriter,
+        )
+
+        blocker = tmp_path / "not_a_dir"
+        blocker.write_text("file, not a directory")
+        w = AsyncCheckpointWriter()
+        w.submit({"v": np.ones(2, np.float32)}, blocker / "ckpt")
+        with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+            w.flush()
+        # the writer stays usable after an error
+        w.submit({"v": np.ones(2, np.float32)}, tmp_path / "ok")
+        w.flush()
+        w.close()
+
+    def test_trainer_async_checkpointing_e2e(self, tiny_cfg):
+        """training.checkpoint.async: true → same artifacts, resumable."""
+        cfg = tiny_cfg.copy()
+        cfg.set("training.checkpoint.async", True)
+        cfg.set("training.epochs", 1)
+        out = Path(cfg.get("experiment.output_dir")).parent / "async_run"
+        cfg.set("experiment.output_dir", str(out))
+        t = Trainer(
+            cfg,
+            train_loader=get_dataloader(cfg, split="train"),
+            val_loader=get_dataloader(cfg, split="val"),
+        )
+        t.train()  # flushes before returning
+        run_dir = out / str(cfg.get("experiment.name"))
+        assert (run_dir / "last" / "meta.json").exists()
+        assert (run_dir / "best" / "meta.json").exists()
+        t2 = Trainer(
+            cfg,
+            train_loader=get_dataloader(cfg, split="train"),
+            resume_from=str(run_dir / "last"),
+        )
+        first = next(iter(t2.train_loader))
+        t2.init_state(np.asarray(first["image"][0]))
+        assert t2.current_epoch == 1
+
+
 class TestEMA:
     def _setup(self, ema_decay=0.5, skip_nonfinite=False):
         from multimodal_organ_segmentation_tpu.models.unet3d import UNet3D
