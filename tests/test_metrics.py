@@ -145,6 +145,41 @@ class TestSurfaceDice:
         assert np.isnan(out["surface_dice_per_class"][2])
         assert out["surface_dice"] == pytest.approx(1.0)
 
+    def test_brute_force_cross_check(self):
+        """EDT-based NSD == brute-force pairwise surface distances on a
+        random small mask (independent of the EDT implementation)."""
+        rng = np.random.default_rng(7)
+        pred = np.zeros((10, 10, 10), bool)
+        gt = np.zeros((10, 10, 10), bool)
+        pred[2:7, 3:8, 2:6] = True
+        gt[3:8, 2:7, 3:7] = True
+        # roughen the surfaces
+        for m in (pred, gt):
+            idx = rng.integers(2, 8, size=(6, 3))
+            for i, j, k in idx:
+                m[i, j, k] ^= True
+        spacing = (1.0, 1.5, 2.0)
+        tol = 2.0
+
+        from multimodal_organ_segmentation_tpu.train.metrics import (
+            _boundary_voxels,
+        )
+
+        bp = np.argwhere(_boundary_voxels(pred)).astype(np.float64) * spacing
+        bg = np.argwhere(_boundary_voxels(gt)).astype(np.float64) * spacing
+        d_pg = np.sqrt(((bp[:, None] - bg[None]) ** 2).sum(-1)).min(1)
+        d_gp = np.sqrt(((bg[:, None] - bp[None]) ** 2).sum(-1)).min(1)
+        expected = ((d_pg <= tol).sum() + (d_gp <= tol).sum()) / (
+            len(bp) + len(bg)
+        )
+
+        m = SurfaceDice(num_classes=2, tolerance_mm=tol)
+        m.update(
+            pred[None].astype(np.int64), gt[None].astype(np.int64),
+            spacing=spacing,
+        )
+        assert m.compute()["surface_dice"] == pytest.approx(expected, abs=1e-9)
+
     def test_multiclass_mean(self):
         # class 1 perfect, class 2 missed entirely → mean 0.5
         pred = self._cube()
