@@ -548,22 +548,38 @@ class SlidingWindowRunner:
         return len(self._cache)
 
 
-def predict_labels(run_sw: Callable, image: jax.Array, tta: bool = False):
+def predict_labels(
+    run_sw: Callable,
+    image: jax.Array,
+    tta: bool = False,
+    return_probs: bool = False,
+    already_probs: bool = False,
+):
     """Blended logits → label map for one ``[H, W, D, C]`` volume.
 
     ``run_sw`` maps a volume to full-volume logits (any of this module's
-    three entry points). With ``tta``, averages logits over the 3
-    single-axis spatial flips, un-flipping each prediction (the reference
-    declares ``inference.tta`` but never implements it —
+    three entry points). With ``tta``, averages over the 3 single-axis
+    spatial flips, un-flipping each prediction (the reference declares
+    ``inference.tta`` but never implements it —
     /root/reference/configs/default.yaml:121). Shared by the batch CLI
     (``Trainer.predict``) and the HTTP service so the two serving surfaces
     cannot diverge. Returns a DEVICE int array — callers fetch it
     (``np.asarray``) outside any device lock they hold.
+
+    ``return_probs`` additionally returns per-class probabilities
+    ``[H, W, D, C]`` (softmax of the blended logits). ``already_probs``
+    marks ``run_sw`` as returning probabilities rather than logits (the
+    checkpoint-ensemble path averages member softmaxes); argmax and TTA
+    averaging are unchanged, but the softmax must then be skipped.
     """
-    logits = run_sw(image)
+    out = run_sw(image)
     if tta:
         for axis in range(3):
             flipped = jnp.flip(image, axis=axis)
-            logits = logits + jnp.flip(run_sw(flipped), axis=axis)
-        logits = logits / 4.0
-    return jnp.argmax(logits, axis=-1)
+            out = out + jnp.flip(run_sw(flipped), axis=axis)
+        out = out / 4.0
+    labels = jnp.argmax(out, axis=-1)
+    if not return_probs:
+        return labels
+    probs = out if already_probs else jax.nn.softmax(out, axis=-1)
+    return labels, probs

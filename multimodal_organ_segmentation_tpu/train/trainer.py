@@ -894,6 +894,28 @@ class Trainer:
         variables = {"params": self._infer_params(), **self.state.extra}
         predict_fn = self._predict_fn
 
+        # checkpoint ensembling (inference.ensemble: [path, ...]): member
+        # softmaxes are averaged — the standard multi-fold deployment recipe
+        # (nnU-Net-style); the reference has no ensembling. Every member
+        # reuses the same compiled sliding-window program (same shapes).
+        member_vars = [variables]
+        for ens_path in list(self.config.get("inference.ensemble", []) or []):
+            ckpt = load_checkpoint(ens_path, target=self.state)
+            tree = ckpt["tree"]
+            member_vars.append(
+                jax.tree_util.tree_map(
+                    jnp.asarray,
+                    {
+                        "params": select_infer_params(tree, self.config),
+                        **tree.extra,
+                    },
+                )
+            )
+        if len(member_vars) > 1 and self.logger:
+            self.logger.info(
+                f"Ensembling {len(member_vars)} checkpoints (softmax average)"
+            )
+
         # serving engine: shape-bucketed (one compile per tile-count bucket
         # instead of per volume shape) and, with a >1-device data axis,
         # mesh-parallel (tile chunks sharded over `data`). Both default on;
@@ -950,14 +972,14 @@ class Trainer:
         )
 
         if runner is not None:
-            run_sw = lambda vol: runner(vol, variables)
+            run_sw_v = lambda vol, v: runner(vol, v)
         elif dp_mesh is not None:
             from multimodal_organ_segmentation_tpu.ops.sliding_window import (
                 resolve_sw_batch,
                 sharded_sliding_window_inference,
             )
 
-            run_sw = lambda vol: sharded_sliding_window_inference(
+            run_sw_v = lambda vol, v: sharded_sliding_window_inference(
                 vol,
                 predict_fn,
                 roi_size=roi,
@@ -969,14 +991,14 @@ class Trainer:
                     chunk_multiple=int(dp_mesh.shape["data"]),
                 ),
                 mode=mode,
-                params=variables,
+                params=v,
             )
         else:
             from multimodal_organ_segmentation_tpu.ops.sliding_window import (
                 resolve_sw_batch,
             )
 
-            def run_sw(vol):
+            def run_sw_v(vol, v):
                 return sliding_window_inference(
                     vol,
                     predict_fn,
@@ -987,14 +1009,28 @@ class Trainer:
                         sw_batch, tuple(vol.shape[:3]), roi, overlap
                     ),
                     mode=mode,
-                    params=variables,
+                    params=v,
                 )
+
+        is_ensemble = len(member_vars) > 1
+        if is_ensemble:
+
+            def run_sw(vol):
+                acc = None
+                for v in member_vars:
+                    p = jax.nn.softmax(run_sw_v(vol, v), axis=-1)
+                    acc = p if acc is None else acc + p
+                return acc / len(member_vars)
+
+        else:
+            run_sw = lambda vol: run_sw_v(vol, member_vars[0])
 
         normalize = bool(self.config.get("inference.normalize", False))
         if normalize:
             from multimodal_organ_segmentation_tpu.data.transforms import (
                 normalize_from_config,
             )
+        save_probs = bool(self.config.get("inference.save_probabilities", False))
 
         written = []
         write_futures = []
@@ -1010,13 +1046,32 @@ class Trainer:
 
                 # shared with the HTTP service (serving/server.py) so the
                 # two serving surfaces produce identical masks
-                pred = np.asarray(
-                    predict_labels(run_sw, image, tta=tta)
-                ).astype(np.uint8)
+                probs_np = None
+                if save_probs:
+                    labels_dev, probs_dev = predict_labels(
+                        run_sw, image, tta=tta, return_probs=True,
+                        already_probs=is_ensemble,
+                    )
+                    pred = np.asarray(labels_dev).astype(np.uint8)
+                    probs_np = np.asarray(probs_dev, dtype=np.float32)
+                else:
+                    pred = np.asarray(
+                        predict_labels(
+                            run_sw, image, tta=tta,
+                        )
+                    ).astype(np.uint8)
                 out_file = Path(output_path) / f"{case}_pred.nii.gz"
 
-                def _write(pred=pred, out_file=out_file, affine=affine):
+                def _write(pred=pred, out_file=out_file, affine=affine,
+                           probs_np=probs_np, case=case):
                     save_nifti(pred, out_file, affine=affine)
+                    if probs_np is not None:
+                        # 4D NIfTI [H, W, D, C] float32 per-class softmax
+                        save_nifti(
+                            probs_np,
+                            Path(output_path) / f"{case}_prob.nii.gz",
+                            affine=affine,
+                        )
                     if self.logger:
                         self.logger.info(f"Saved {out_file}")
 

@@ -577,6 +577,62 @@ class TestEMA:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestInferenceExtras:
+    def _case_dir(self, tmp_path):
+        from multimodal_organ_segmentation_tpu.utils.io import save_nifti
+
+        rng = np.random.default_rng(0)
+        for mod in ["ct", "pet"]:
+            d = tmp_path / "in" / mod
+            d.mkdir(parents=True)
+            save_nifti(
+                rng.normal(size=(16, 16, 16)).astype(np.float32),
+                d / "c.nii.gz",
+            )
+        return tmp_path / "in"
+
+    def test_save_probabilities(self, tiny_cfg, tmp_path):
+        """inference.save_probabilities writes a 4D float32 softmax volume
+        consistent with the saved mask (argmax(probs) == mask)."""
+        from multimodal_organ_segmentation_tpu.utils.io import load_nifti
+
+        in_dir = self._case_dir(tmp_path)
+        cfg = tiny_cfg.copy()
+        cfg.set("inference.sliding_window.roi_size", [16, 16, 16])
+        cfg.set("inference.save_probabilities", True)
+        t = Trainer(cfg)
+        t.init_state(np.zeros((16, 16, 16, 2), np.float32))
+        written = t.predict(in_dir, tmp_path / "out")
+        assert len(written) == 1
+        pred = load_nifti(written[0], dtype=np.uint8)
+        probs = load_nifti(tmp_path / "out" / "c_prob.nii.gz")
+        assert probs.shape == (16, 16, 16, 4)
+        np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-4)
+        np.testing.assert_array_equal(probs.argmax(axis=-1), pred)
+
+    def test_ensemble_duplicate_equals_single(self, tiny_cfg, tmp_path):
+        """Softmax-averaging an ensemble of IDENTICAL members must
+        reproduce the single-model mask exactly (semantic sanity for
+        inference.ensemble)."""
+        from multimodal_organ_segmentation_tpu.train.checkpoint import (
+            save_checkpoint,
+        )
+        from multimodal_organ_segmentation_tpu.utils.io import load_nifti
+
+        in_dir = self._case_dir(tmp_path)
+        cfg = tiny_cfg.copy()
+        cfg.set("inference.sliding_window.roi_size", [16, 16, 16])
+        t = Trainer(cfg)
+        t.init_state(np.zeros((16, 16, 16, 2), np.float32))
+        save_checkpoint(t.state, tmp_path / "member")
+        t.predict(in_dir, tmp_path / "single")
+        cfg.set("inference.ensemble", [str(tmp_path / "member")])
+        t.predict(in_dir, tmp_path / "ens")
+        a = load_nifti(tmp_path / "single" / "c_pred.nii.gz", dtype=np.uint8)
+        b = load_nifti(tmp_path / "ens" / "c_pred.nii.gz", dtype=np.uint8)
+        np.testing.assert_array_equal(a, b)
+
+
 class TestTTA:
     def test_tta_predict(self, tiny_cfg, tmp_path):
         """Flip TTA produces a valid prediction; on a flip-equivariant-ish
