@@ -29,7 +29,8 @@ Endpoints (JSON in/out):
                           percentiles (p50/p95/max over a sliding window)
 - ``POST /v1/warmup``    {"shape": [H, W, D]} → precompile that bucket
 - ``POST /v1/segment``   {"inputs": {MOD: path, ...}, "output_dir": ...,
-                          "case_id": ...} → run + save {case}_pred.nii.gz
+                          "case_id": ..., "probabilities": bool} → run +
+                          save {case}_pred.nii.gz (+ {case}_prob.nii.gz)
 """
 
 from __future__ import annotations
@@ -188,8 +189,13 @@ class InferenceService:
         inputs: Dict[str, str],
         output_dir: Optional[str] = None,
         case_id: Optional[str] = None,
+        probabilities: bool = False,
     ) -> Dict[str, Any]:
-        """Segment one case given ``{modality: nifti_path}``."""
+        """Segment one case given ``{modality: nifti_path}``.
+
+        ``probabilities`` also writes ``{case}_prob.nii.gz`` (4D float32
+        per-class softmax) next to the mask — same artifact as the batch
+        CLI's ``inference.save_probabilities``."""
         from multimodal_organ_segmentation_tpu.ops.sliding_window import bucket_shape
         from multimodal_organ_segmentation_tpu.utils.io import (
             load_case_channels,
@@ -203,7 +209,8 @@ class InferenceService:
             )
         try:
             result = self._segment(inputs, output_dir, case_id,
-                                   bucket_shape, load_case_channels, save_nifti)
+                                   bucket_shape, load_case_channels, save_nifti,
+                                   probabilities=probabilities)
         except (RequestError, FileNotFoundError):
             self._count("client_errors")
             raise
@@ -218,7 +225,8 @@ class InferenceService:
         return result
 
     def _segment(self, inputs, output_dir, case_id,
-                 bucket_shape, load_case_channels, save_nifti) -> Dict[str, Any]:
+                 bucket_shape, load_case_channels, save_nifti,
+                 probabilities: bool = False) -> Dict[str, Any]:
         from multimodal_organ_segmentation_tpu.ops.sliding_window import (
             predict_labels,
         )
@@ -248,11 +256,21 @@ class InferenceService:
         # only device DISPATCH holds the lock; the host fetch of the mask
         # (tens of MB) runs outside it so the next request's dispatch can
         # overlap this one's transfer
+        probs = None
         with self._device_lock:
-            pred_dev = predict_labels(
-                lambda v: self.runner(v, self._variables), image, tta=self.tta
-            )
+            if probabilities:
+                pred_dev, probs_dev = predict_labels(
+                    lambda v: self.runner(v, self._variables), image,
+                    tta=self.tta, return_probs=True,
+                )
+            else:
+                pred_dev = predict_labels(
+                    lambda v: self.runner(v, self._variables), image,
+                    tta=self.tta,
+                )
         pred = np.asarray(pred_dev).astype(np.uint8)
+        if probabilities:
+            probs = np.asarray(probs_dev, dtype=np.float32)
         t_dev = time.perf_counter()
 
         result: Dict[str, Any] = {
@@ -278,6 +296,10 @@ class InferenceService:
             out_file = out_dir / f"{name}_pred.nii.gz"
             save_nifti(pred, out_file, affine=affine)
             result["output"] = str(out_file)
+            if probs is not None:
+                prob_file = out_dir / f"{name}_prob.nii.gz"
+                save_nifti(probs, prob_file, affine=affine)
+                result["probabilities"] = str(prob_file)
         result["total_s"] = round(time.perf_counter() - t0, 3)
         with self._stats_lock:
             self.requests_served += 1
@@ -372,6 +394,7 @@ def make_server(service: InferenceService, host: str = "127.0.0.1", port: int = 
                             req.get("inputs", {}),
                             output_dir=req.get("output_dir"),
                             case_id=req.get("case_id"),
+                            probabilities=bool(req.get("probabilities", False)),
                         ),
                     )
                 elif self.path == "/v1/warmup":

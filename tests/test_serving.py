@@ -75,6 +75,25 @@ class TestInferenceService:
         assert res2["compiled_buckets"] == 1
         assert (out_dir / "caseB_pred.nii.gz").exists()
 
+    def test_segment_with_probabilities(self, served):
+        """"probabilities": true also writes the 4D softmax volume, and
+        its argmax matches the saved mask (same artifact as the batch
+        CLI's inference.save_probabilities)."""
+        config, ckpt, inputs, workdir = served
+        svc = InferenceService(config, ckpt)
+        out_dir = workdir / "preds_probs"
+        res = svc.segment(
+            inputs, output_dir=str(out_dir), case_id="caseP",
+            probabilities=True,
+        )
+        probs = load_nifti(res["probabilities"])
+        pred = load_nifti(res["output"])
+        assert probs.shape == (32, 32, 32, 4)
+        np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(probs).argmax(-1), np.asarray(pred)
+        )
+
     def test_missing_modality_raises(self, served):
         config, ckpt, inputs, _ = served
         svc = InferenceService(config, ckpt)
