@@ -65,6 +65,19 @@ def _sample(moving: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.ndimage.map_coordinates(moving, list(coords), order=1, mode="constant")
 
 
+def _sample_nearest(moving: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor sample — the correct interpolator for LABEL maps
+    (trilinear would invent fractional labels on boundaries). Out-of-bounds
+    coords sample 0, matching ``_sample``'s constant mode."""
+    idx = jnp.round(coords).astype(jnp.int32)
+    inside = jnp.ones(idx.shape[1:], dtype=bool)
+    gather = []
+    for i in range(3):
+        inside &= (idx[i] >= 0) & (idx[i] < moving.shape[i])
+        gather.append(jnp.clip(idx[i], 0, moving.shape[i] - 1))
+    return jnp.where(inside, moving[gather[0], gather[1], gather[2]], 0)
+
+
 def _euler_matrix(rx, ry, rz):
     cx, sx = jnp.cos(rx), jnp.sin(rx)
     cy, sy = jnp.cos(ry), jnp.sin(ry)
@@ -338,6 +351,7 @@ class ImageRegistration:
         moving_affine: np.ndarray,
         fixed_shape: Tuple[int, int, int],
         fixed_affine: np.ndarray,
+        interpolation: str = "linear",
     ) -> np.ndarray:
         """Resample moving onto the fixed grid through the affines
         (coords_m = A_m⁻¹ · A_f · coords_f)."""
@@ -346,7 +360,8 @@ class ImageRegistration:
         flat = coords.reshape(3, -1)
         hom = np.vstack([flat, np.ones((1, flat.shape[1]))])
         m_coords = (A @ hom)[:3].reshape(coords.shape)
-        out = _sample(jnp.asarray(moving, jnp.float32), jnp.asarray(m_coords))
+        sampler = _sample_nearest if interpolation == "nearest" else _sample
+        out = sampler(jnp.asarray(moving, jnp.float32), jnp.asarray(m_coords))
         return np.asarray(out, dtype=np.float32)
 
     # -- file-level API (reference: register/register_pair/apply_transform) ---
@@ -398,9 +413,17 @@ class ImageRegistration:
         return results
 
     def apply_transform(
-        self, moving_path, transform_path, output_path, reference_path=None
+        self, moving_path, transform_path, output_path, reference_path=None,
+        interpolation: str = "linear", dtype=None,
     ) -> str:
-        """Apply a saved transform to a new volume."""
+        """Apply a saved transform to a new volume.
+
+        ``interpolation="nearest"`` warps LABEL maps without inventing
+        fractional labels (and preserves the integer dtype) — what you use
+        to carry a segmentation through a registration found on the
+        underlying images. SimpleITK exposes the same switch
+        (sitkNearestNeighbor); the reference, delegating to SimpleITK,
+        never wires it."""
         moving, m_aff = load_nifti(moving_path, return_affine=True)
         with open(transform_path) as f:
             transform = json.load(f)
@@ -410,10 +433,16 @@ class ImageRegistration:
             for k, v in transform["params"].items()
         }
 
+        if interpolation not in ("linear", "nearest"):
+            raise ValueError(
+                f"interpolation must be 'linear' or 'nearest', got {interpolation!r}"
+            )
         if reference_path is not None:
             ref, r_aff = load_nifti(reference_path, return_affine=True)
             if moving.shape != ref.shape or not np.allclose(m_aff, r_aff):
-                moving = self.resample_to_fixed_grid(moving, m_aff, ref.shape, r_aff)
+                moving = self.resample_to_fixed_grid(
+                    moving, m_aff, ref.shape, r_aff, interpolation=interpolation
+                )
             out_affine = r_aff
         else:
             out_affine = m_aff
@@ -422,6 +451,13 @@ class ImageRegistration:
         coords = _identity_coords(vol.shape)
         center = jnp.asarray([(s - 1) / 2 for s in vol.shape], dtype=jnp.float32)
         c = transform_coords(params, coords, method, center, vol.shape)
-        warped = np.asarray(_sample(vol, c), dtype=np.float32)
+        sampler = _sample_nearest if interpolation == "nearest" else _sample
+        warped = np.asarray(sampler(vol, c), dtype=np.float32)
+        if dtype is not None:
+            # e.g. uint8 for a warped label map (nearest keeps the values
+            # exact, so the cast is lossless)
+            warped = np.round(warped).astype(dtype) if np.issubdtype(
+                np.dtype(dtype), np.integer
+            ) else warped.astype(dtype)
         save_nifti(warped, output_path, affine=out_affine)
         return str(output_path)

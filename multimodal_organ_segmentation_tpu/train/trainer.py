@@ -315,6 +315,29 @@ class Trainer:
         """Params used for eval/inference — see ``select_infer_params``."""
         return select_infer_params(self.state, self.config)
 
+    def _inference_members(self) -> List[Dict]:
+        """Variable sets for inference: the live state plus any
+        ``inference.ensemble`` checkpoints (callers average the member
+        softmaxes). Every member reuses the same compiled program."""
+        members = [{"params": self._infer_params(), **self.state.extra}]
+        for ens_path in list(self.config.get("inference.ensemble", []) or []):
+            ckpt = load_checkpoint(ens_path, target=self.state)
+            tree = ckpt["tree"]
+            members.append(
+                jax.tree_util.tree_map(
+                    jnp.asarray,
+                    {
+                        "params": select_infer_params(tree, self.config),
+                        **tree.extra,
+                    },
+                )
+            )
+        if len(members) > 1 and self.logger:
+            self.logger.info(
+                f"Ensembling {len(members)} checkpoints (softmax average)"
+            )
+        return members
+
     def _zero1_active(self) -> bool:
         """ZeRO-1 optimizer-state sharding: on when ``parallel.zero1`` is
         set and the mesh has a non-trivial data axis."""
@@ -810,7 +833,19 @@ class Trainer:
             mesh=dp_mesh,
         )
 
-        variables = {"params": self._infer_params(), **self.state.extra}
+        members = self._inference_members()
+        if len(members) == 1:
+            logits_for = lambda img: runner(img, members[0])
+        else:
+            # ensemble: average member softmaxes (argmax is unaffected by
+            # the missing 1/N normalization)
+            def logits_for(img):
+                acc = None
+                for v in members:
+                    p = jax.nn.softmax(runner(img, v), axis=-1)
+                    acc = p if acc is None else acc + p
+                return acc
+
         dice = DiceMetric(self.num_classes)
         hd = HausdorffDistance(
             percentile=float(self.config.get("evaluation.hd_percentile", 95))
@@ -826,7 +861,7 @@ class Trainer:
             images = np.asarray(batch["image"])
             labels = np.asarray(batch["label"]).astype(np.int32)
             for b in range(images.shape[0]):
-                logits = runner(jnp.asarray(images[b]), variables)
+                logits = logits_for(jnp.asarray(images[b]))
                 pred = np.asarray(jnp.argmax(logits, axis=-1))
                 spacing = None
                 affines = batch.get("affine")
@@ -891,30 +926,11 @@ class Trainer:
         if self.logger:
             self.logger.info(f"Found {len(cases)} cases under {input_path}")
 
-        variables = {"params": self._infer_params(), **self.state.extra}
         predict_fn = self._predict_fn
-
-        # checkpoint ensembling (inference.ensemble: [path, ...]): member
-        # softmaxes are averaged — the standard multi-fold deployment recipe
-        # (nnU-Net-style); the reference has no ensembling. Every member
-        # reuses the same compiled sliding-window program (same shapes).
-        member_vars = [variables]
-        for ens_path in list(self.config.get("inference.ensemble", []) or []):
-            ckpt = load_checkpoint(ens_path, target=self.state)
-            tree = ckpt["tree"]
-            member_vars.append(
-                jax.tree_util.tree_map(
-                    jnp.asarray,
-                    {
-                        "params": select_infer_params(tree, self.config),
-                        **tree.extra,
-                    },
-                )
-            )
-        if len(member_vars) > 1 and self.logger:
-            self.logger.info(
-                f"Ensembling {len(member_vars)} checkpoints (softmax average)"
-            )
+        # checkpoint ensembling (inference.ensemble): member softmaxes are
+        # averaged — the standard multi-fold deployment recipe
+        # (nnU-Net-style); the reference has no ensembling
+        member_vars = self._inference_members()
 
         # serving engine: shape-bucketed (one compile per tile-count bucket
         # instead of per volume shape) and, with a >1-device data axis,

@@ -372,6 +372,63 @@ class TestRegistration:
         applied = load_nifti(out)
         np.testing.assert_allclose(applied, warped, atol=1e-4)
 
+    def test_apply_transform_nearest_for_labels(self, tmp_path):
+        """interpolation="nearest" carries a LABEL map through a saved
+        transform: an integer translation shifts labels exactly, with no
+        invented fractional values (linear would blend at boundaries)."""
+        import json
+
+        labels = np.zeros((16, 16, 16), np.float32)
+        labels[4:9, 5:10, 6:11] = 3.0
+        labels[10:13, 2:5, 2:5] = 7.0
+        save_nifti(labels, tmp_path / "labels.nii.gz")
+        # hand-written transform: pure integer translation. transform_coords
+        # maps OUTPUT voxel -> MOVING voxel as c + t, so t=[-2,0,0] shifts
+        # content +2 along axis 0
+        with open(tmp_path / "t.json", "w") as f:
+            json.dump(
+                {"method": "translation", "params": {"t": [-2.0, 0.0, 0.0]}}, f
+            )
+
+        reg = ImageRegistration()
+        out = reg.apply_transform(
+            tmp_path / "labels.nii.gz", tmp_path / "t.json",
+            tmp_path / "warped_labels.nii.gz",
+            interpolation="nearest", dtype=np.uint8,
+        )
+        warped = load_nifti(out, dtype=np.uint8)
+        assert warped.dtype == np.uint8
+        assert set(np.unique(warped).tolist()) <= {0, 3, 7}
+        expected = np.zeros_like(labels)
+        expected[6:11, 5:10, 6:11] = 3.0
+        expected[12:15, 2:5, 2:5] = 7.0
+        np.testing.assert_array_equal(warped, expected.astype(np.uint8))
+
+        # the linear default on the same labels DOES blend (sanity contrast)
+        out_lin = reg.apply_transform(
+            tmp_path / "labels.nii.gz", tmp_path / "t.json",
+            tmp_path / "warped_lin.nii.gz",
+        )
+        lin = load_nifti(out_lin)
+        assert set(np.unique(lin).tolist()) <= {0.0, 3.0, 7.0}  # integer shift: still exact
+        # fractional shift is where linear invents values
+        with open(tmp_path / "t2.json", "w") as f:
+            json.dump(
+                {"method": "translation", "params": {"t": [-1.5, 0.0, 0.0]}}, f
+            )
+        out_frac = reg.apply_transform(
+            tmp_path / "labels.nii.gz", tmp_path / "t2.json",
+            tmp_path / "warped_frac.nii.gz",
+        )
+        frac_lin = load_nifti(out_frac)
+        assert len(np.unique(frac_lin)) > 3  # blended values appear
+        out_frac_nn = reg.apply_transform(
+            tmp_path / "labels.nii.gz", tmp_path / "t2.json",
+            tmp_path / "warped_frac_nn.nii.gz", interpolation="nearest",
+        )
+        frac_nn = load_nifti(out_frac_nn)
+        assert set(np.unique(frac_nn).tolist()) <= {0.0, 3.0, 7.0}
+
 
 class TestResample:
     def test_resample_spacing(self):
