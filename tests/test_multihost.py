@@ -230,6 +230,72 @@ print(f"proc {pid} OK loss_err={err:.2e} param_err={perr:.2e}")
 """
 
 
+_ZERO1_WORKER = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); n = int(sys.argv[2]); addr = sys.argv[3]
+jax.distributed.initialize(coordinator_address=addr, num_processes=n, process_id=pid)
+import jax.numpy as jnp
+from multimodal_organ_segmentation_tpu.models.unet3d import UNet3D
+from multimodal_organ_segmentation_tpu.parallel.mesh import (
+    make_mesh, replicate_tree, shard_opt_state, zero1_constrainer,
+)
+from multimodal_organ_segmentation_tpu.train.losses import dice_ce_loss
+from multimodal_organ_segmentation_tpu.train.optim import make_optimizer
+from multimodal_organ_segmentation_tpu.train.trainer import TrainState, make_train_step
+from multimodal_organ_segmentation_tpu.utils.config import default_config
+
+model = UNet3D(out_channels=3, features=(4, 8))
+cfg = default_config()
+cfg.set("training.optimizer.name", "adamw")
+tx = make_optimizer(cfg)
+rng = np.random.default_rng(0)
+imgs = rng.normal(size=(1, 2, 8, 8, 8, 1)).astype(np.float32)
+lbls = rng.integers(0, 3, size=(1, 2, 8, 8, 8)).astype(np.int32)
+x0 = jnp.zeros((1, 8, 8, 8, 1))
+variables = dict(model.init(jax.random.key(0), x0, train=False))
+params = variables.pop("params")
+mesh = make_mesh(None)  # spans BOTH processes (data axis = global devices)
+assert int(mesh.shape["data"]) == jax.device_count()
+
+def fresh():
+    p = jax.tree_util.tree_map(jnp.copy, params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=p,
+                      opt_state=tx.init(p), extra={})
+
+loss_fn = lambda lg, lb: dice_ce_loss(lg, lb)
+step_rep = make_train_step(model, tx, loss_fn, accum_steps=1)
+s_ref = replicate_tree(fresh(), mesh)
+s_ref, m_ref = step_rep(s_ref, imgs, lbls, jax.random.key(1))
+loss_ref = float(m_ref["loss"])
+
+step_z = make_train_step(model, tx, loss_fn, accum_steps=1,
+                         opt_constraint=zero1_constrainer(mesh))
+s_z = replicate_tree(fresh(), mesh)
+s_z = s_z.replace(opt_state=shard_opt_state(s_z.opt_state, mesh))
+s_z, m_z = step_z(s_z, imgs, lbls, jax.random.key(1))
+err = abs(float(m_z["loss"]) - loss_ref)
+assert err < 1e-5, (float(m_z["loss"]), loss_ref)
+
+# the moments are sharded across the PROCESS boundary: some leaf is not
+# replicated, and this process addresses only its 1/n of the rows
+nd = jax.device_count(); ld = jax.local_device_count()
+found = False
+for x in jax.tree_util.tree_leaves(s_z.opt_state):
+    if not (hasattr(x, "sharding") and getattr(x, "ndim", 0) > 0):
+        continue
+    if x.sharding.is_fully_replicated:
+        continue
+    local_rows = sum(s.data.size for s in x.addressable_shards)
+    assert local_rows * nd == x.size * ld, (local_rows, x.size, nd, ld)
+    found = True
+assert found, "no opt-state leaf sharded across processes"
+print(f"proc {pid} OK zero1_loss_err={err:.2e}")
+"""
+
+
 @pytest.mark.slow
 class TestTwoProcessSmoke:
     def test_two_process_cpu_psum(self, tmp_path):
@@ -268,6 +334,47 @@ class TestTwoProcessSmoke:
             if "UNAVAILABLE" in joined or "DEADLINE" in joined:
                 pytest.skip(f"distributed CPU runtime unavailable: {joined[-500:]}")
             pytest.fail(f"2-process smoke failed:\n{joined}")
+        assert all("OK" in o for o in outs)
+
+    def test_two_process_zero1_optimizer_sharding(self, tmp_path):
+        """ZeRO-1 across a REAL process boundary: sharded-moments train
+        step == replicated step, and each process holds only its 1/n of
+        the moment rows (addressable-shard accounting)."""
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        addr = f"127.0.0.1:{port}"
+        script = tmp_path / "zero1_worker.py"
+        script.write_text(_ZERO1_WORKER)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        repo = str(Path(__file__).resolve().parents[1])
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(i), "2", addr],
+                env=env,
+                cwd=repo,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.skip("2-process zero1 smoke timed out on this host")
+            outs.append(out.decode())
+        if any(p.returncode != 0 for p in procs):
+            joined = "\n".join(outs)
+            if "UNAVAILABLE" in joined or "DEADLINE" in joined:
+                pytest.skip(f"distributed CPU runtime unavailable: {joined[-500:]}")
+            pytest.fail(f"2-process zero1 smoke failed:\n{joined}")
         assert all("OK" in o for o in outs)
 
     def test_two_process_data_parallel_training(self, tmp_path):
