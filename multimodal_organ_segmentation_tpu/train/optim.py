@@ -50,6 +50,16 @@ def make_optimizer(config) -> optax.GradientTransformation:
             if wd:
                 tx = optax.chain(optax.add_decayed_weights(wd), tx)
             return tx
+    elif name == "adafactor":
+        # the TPU-native memory-efficient optimizer: second moments stored
+        # as factored row/column statistics, so optimizer HBM is ~O(rows +
+        # cols) per matrix instead of Adam's 2× full-parameter copies.
+        # The reference (torch) offers adam/adamw/sgd only.
+        def base(learning_rate):
+            return optax.adafactor(
+                learning_rate=learning_rate,
+                weight_decay_rate=wd if wd else None,
+            )
     else:  # adamw (and fallback)
         b1, b2 = tuple(opt_cfg.get("betas", [0.9, 0.999]))
 

@@ -112,7 +112,7 @@ class TestSchedulers:
         ) == jax.tree_util.tree_structure(state)
 
     def test_optimizers_build(self):
-        for name in ["adam", "adamw", "sgd"]:
+        for name in ["adam", "adamw", "sgd", "adafactor"]:
             cfg = default_config()
             cfg.set("training.optimizer.name", name)
             tx = make_optimizer(cfg)
@@ -121,6 +121,36 @@ class TestSchedulers:
             g = {"w": jnp.ones((3,))}
             updates, _ = tx.update(g, state, params)
             assert jnp.all(jnp.isfinite(updates["w"]))
+
+    def test_adafactor_state_is_factored(self):
+        """Adafactor's selling point: optimizer state for an [M, N] matrix
+        is O(M + N), not Adam's 2·M·N."""
+        # both dims ≥ optax's min_dim_size_to_factor (128) → factored
+        params = {"w": jnp.ones((256, 256))}
+        cfg = default_config()
+        cfg.set("training.optimizer.name", "adafactor")
+        af_state = make_optimizer(cfg).init(params)
+        cfg2 = default_config()
+        cfg2.set("training.optimizer.name", "adamw")
+        adam_state = make_optimizer(cfg2).init(params)
+
+        def opt_floats(s):
+            return sum(
+                x.size for x in jax.tree_util.tree_leaves(s)
+                if hasattr(x, "size") and jnp.issubdtype(x.dtype, jnp.floating)
+            )
+
+        n_param = 256 * 256
+        assert opt_floats(adam_state) >= 2 * n_param
+        assert opt_floats(af_state) < n_param // 4
+        # an epoch-schedule LR write still works through inject_hyperparams
+        from multimodal_organ_segmentation_tpu.train.optim import (
+            get_learning_rate,
+            set_learning_rate,
+        )
+
+        s = set_learning_rate(af_state, 1e-3)
+        assert get_learning_rate(s) == pytest.approx(1e-3)
 
 
 class TestEndToEnd:
