@@ -234,6 +234,59 @@ def random_gaussian_noise(
     return out
 
 
+def random_elastic_deform(
+    sample: Sample,
+    key: jax.Array,
+    grid: int = 4,
+    alpha: float = 2.0,
+    prob: float = 0.3,
+) -> Sample:
+    """Smooth random spatial warp (the standard medical-segmentation
+    elastic augmentation; absent from the reference's transform set,
+    transforms.py:407-451).
+
+    A coarse ``[grid, grid, grid, 3]`` control displacement ~N(0, alpha
+    voxels) is trilinearly upsampled to a full-resolution displacement
+    field — smooth by construction, no Gaussian-filter pass needed. The
+    image warps with trilinear sampling; the label with nearest-neighbor
+    (fractional labels would be meaningless). Entirely jit-compatible:
+    static shapes, `jnp.where` gating on the probability coin.
+    """
+    from multimodal_organ_segmentation_tpu.ops.resize import resize_linear
+
+    image, label = sample["image"], sample.get("label")
+    full = tuple(image.shape[:3])
+    p_key, d_key = jax.random.split(key)
+    apply = jax.random.uniform(p_key) < prob
+
+    ctrl = alpha * jax.random.normal(
+        d_key, (grid, grid, grid, 3), dtype=jnp.float32
+    )
+    disp = resize_linear(ctrl[None], full, (1, 2, 3))[0]  # [H, W, D, 3]
+    base = jnp.stack(
+        jnp.meshgrid(
+            *(jnp.arange(s, dtype=jnp.float32) for s in full), indexing="ij"
+        ),
+        axis=-1,
+    )
+    coords = jnp.moveaxis(base + disp, -1, 0)  # [3, H, W, D]
+
+    def warp(vol, order):
+        return jax.scipy.ndimage.map_coordinates(
+            vol, list(coords), order=order, mode="nearest"
+        )
+
+    warped = jnp.stack(
+        [warp(image[..., c], 1) for c in range(image.shape[-1])], axis=-1
+    ).astype(image.dtype)
+    out = dict(sample)
+    out["image"] = jnp.where(apply, warped, image)
+    if label is not None:
+        warped_lbl = warp(label, 0).astype(label.dtype)
+        out["label"] = jnp.where(apply, warped_lbl, label)
+    return out
+
+
 def random_crop(
     sample: Sample, key: jax.Array, size: Tuple[int, int, int]
 ) -> Sample:
@@ -338,6 +391,13 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
     do_flip = bool(aug.get("random_flip", True))
     do_rot = float(aug.get("random_rotate", 0) or 0) > 0
     intensity = float(aug.get("random_intensity", 0) or 0)
+    # elastic: {enabled, grid, alpha, prob} — off by default (reference
+    # parity; the reference has no spatial deformation augmentation)
+    elastic_cfg = aug.get("elastic", {}) or {}
+    elastic_cfg = (
+        elastic_cfg.to_dict() if hasattr(elastic_cfg, "to_dict") else dict(elastic_cfg)
+    )
+    do_elastic = bool(elastic_cfg.get("enabled", False))
     # mode="native": normalize only, keep the original grid — feeds the
     # sliding-window native-grid evaluation path (the reference can only
     # evaluate on the resized grid, SURVEY.md §3.2)
@@ -347,7 +407,7 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
         out = dict(sample)
         out["image"] = modality_normalize(out["image"], modalities, preprocess_cfg)
         if train_mode and aug_enabled:
-            k1, k2, k3, k4 = jax.random.split(key, 4)
+            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
             if do_flip:
                 out = random_flip(out, k1, prob=0.5)
             if do_rot:
@@ -357,6 +417,13 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
                     out, k3, shift_range=(-intensity, intensity), prob=0.3
                 )
             out = random_gaussian_noise(out, k4, std=0.05, prob=0.2)
+            if do_elastic:
+                out = random_elastic_deform(
+                    out, k5,
+                    grid=int(elastic_cfg.get("grid", 4)),
+                    alpha=float(elastic_cfg.get("alpha", 2.0)),
+                    prob=float(elastic_cfg.get("prob", 0.3)),
+                )
         if resize_needed:
             out = resize_sample(out, img_size)
         return out

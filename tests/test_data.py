@@ -10,6 +10,7 @@ from multimodal_organ_segmentation_tpu.data.transforms import (
     get_transforms,
     modality_normalize,
     random_crop,
+    random_elastic_deform,
     random_flip,
     random_gaussian_noise,
     random_intensity_shift,
@@ -123,6 +124,67 @@ class TestRandomTransforms:
         assert out["image"].shape == (6, 6, 6, 2)
         assert out["label"].shape == (6, 6, 6)
         assert out["label"].dtype == s["label"].dtype
+
+
+class TestElasticDeform:
+    def _sample(self, seed=0, shape=(12, 12, 12)):
+        rng = np.random.default_rng(seed)
+        return {
+            "image": rng.normal(size=(*shape, 2)).astype(np.float32),
+            "label": rng.integers(0, 4, shape).astype(np.int32),
+        }
+
+    def test_zero_alpha_is_identity(self):
+        s = self._sample()
+        out = random_elastic_deform(s, jax.random.key(0), alpha=0.0, prob=1.0)
+        # zero displacement → trilinear sampling at exact integer coords
+        np.testing.assert_allclose(
+            np.asarray(out["image"]), s["image"], atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(out["label"]), s["label"])
+
+    def test_warp_moves_image_and_preserves_label_values(self):
+        s = self._sample()
+        out = random_elastic_deform(s, jax.random.key(1), alpha=3.0, prob=1.0)
+        assert not np.allclose(np.asarray(out["image"]), s["image"])
+        # nearest-neighbor label warp: the label SET never grows
+        assert set(np.unique(np.asarray(out["label"]))) <= set(
+            np.unique(s["label"])
+        )
+        assert out["label"].dtype == s["label"].dtype
+        assert out["image"].shape == s["image"].shape
+
+    def test_prob_zero_is_passthrough(self):
+        s = self._sample()
+        out = random_elastic_deform(s, jax.random.key(2), alpha=3.0, prob=0.0)
+        np.testing.assert_array_equal(np.asarray(out["image"]), s["image"])
+        np.testing.assert_array_equal(np.asarray(out["label"]), s["label"])
+
+    def test_deterministic_per_key_and_jittable(self):
+        s = self._sample()
+        fn = jax.jit(
+            lambda smp, k: random_elastic_deform(smp, k, alpha=2.0, prob=1.0)
+        )
+        a = fn(s, jax.random.key(3))
+        b = fn(s, jax.random.key(3))
+        c = fn(s, jax.random.key(4))
+        np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
+        assert not np.array_equal(np.asarray(a["image"]), np.asarray(c["image"]))
+
+    def test_pipeline_wiring(self, default_cfg):
+        cfg = default_cfg
+        cfg.set("model.backbone.img_size", [16, 16, 16])
+        cfg.set("data.augmentation.elastic.enabled", True)
+        cfg.set("data.augmentation.elastic.prob", 1.0)
+        pipe = get_transforms(cfg, mode="train")
+        rng = np.random.default_rng(0)
+        sample = {
+            "image": rng.uniform(-500, 500, (20, 20, 20, 2)).astype(np.float32),
+            "label": rng.integers(0, 8, (20, 20, 20)).astype(np.int32),
+        }
+        out = pipe(sample, jax.random.key(0))
+        assert out["image"].shape == (16, 16, 16, 2)
+        assert out["label"].shape == (16, 16, 16)
 
 
 class TestPipeline:
