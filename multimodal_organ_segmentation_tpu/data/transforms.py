@@ -234,6 +234,55 @@ def random_gaussian_noise(
     return out
 
 
+def random_zoom(
+    sample: Sample,
+    key: jax.Array,
+    scale_range: Tuple[float, float] = (0.9, 1.1),
+    prob: float = 0.3,
+) -> Sample:
+    """Random isotropic zoom about the volume center (shape-preserving).
+
+    Implements the reference's ``data.augmentation.random_scale`` config
+    key, which its transform assembly never reads (declared-but-dead,
+    /root/reference/configs/default.yaml vs transforms.py:407-451 — same
+    story as ``inference.tta``). Sampling coordinates are
+    ``center + (x − center)/s``: s>1 magnifies (edges sampled from the
+    clamped border), s<1 shrinks. Image trilinear, label nearest; one jit
+    program (the traced scale feeds coordinate math, shapes stay static).
+    """
+    image, label = sample["image"], sample.get("label")
+    full = tuple(image.shape[:3])
+    p_key, s_key = jax.random.split(key)
+    apply = jax.random.uniform(p_key) < prob
+    s = jax.random.uniform(
+        s_key, (), minval=scale_range[0], maxval=scale_range[1]
+    )
+    center = jnp.asarray([(n - 1) / 2.0 for n in full], jnp.float32)
+    base = jnp.stack(
+        jnp.meshgrid(
+            *(jnp.arange(n, dtype=jnp.float32) for n in full), indexing="ij"
+        ),
+        axis=0,
+    )  # [3, H, W, D]
+    coords = center[:, None, None, None] + (
+        base - center[:, None, None, None]
+    ) / s
+
+    def warp(vol, order):
+        return jax.scipy.ndimage.map_coordinates(
+            vol, list(coords), order=order, mode="nearest"
+        )
+
+    warped = jnp.stack(
+        [warp(image[..., c], 1) for c in range(image.shape[-1])], axis=-1
+    ).astype(image.dtype)
+    out = dict(sample)
+    out["image"] = jnp.where(apply, warped, image)
+    if label is not None:
+        out["label"] = jnp.where(apply, warp(label, 0).astype(label.dtype), label)
+    return out
+
+
 def random_elastic_deform(
     sample: Sample,
     key: jax.Array,
@@ -391,6 +440,12 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
     do_flip = bool(aug.get("random_flip", True))
     do_rot = float(aug.get("random_rotate", 0) or 0) > 0
     intensity = float(aug.get("random_intensity", 0) or 0)
+    # random_scale: the reference declares it and never reads it; here it
+    # actually zooms (empty/None list disables)
+    scale_range = aug.get("random_scale", None)
+    scale_range = tuple(scale_range) if scale_range else None
+    if scale_range is not None and len(scale_range) != 2:
+        scale_range = None
     # elastic: {enabled, grid, alpha, prob} — off by default (reference
     # parity; the reference has no spatial deformation augmentation)
     elastic_cfg = aug.get("elastic", {}) or {}
@@ -407,7 +462,7 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
         out = dict(sample)
         out["image"] = modality_normalize(out["image"], modalities, preprocess_cfg)
         if train_mode and aug_enabled:
-            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+            k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
             if do_flip:
                 out = random_flip(out, k1, prob=0.5)
             if do_rot:
@@ -417,6 +472,8 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
                     out, k3, shift_range=(-intensity, intensity), prob=0.3
                 )
             out = random_gaussian_noise(out, k4, std=0.05, prob=0.2)
+            if scale_range is not None:
+                out = random_zoom(out, k6, scale_range=scale_range, prob=0.3)
             if do_elastic:
                 out = random_elastic_deform(
                     out, k5,

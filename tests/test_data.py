@@ -126,6 +126,59 @@ class TestRandomTransforms:
         assert out["label"].dtype == s["label"].dtype
 
 
+class TestRandomZoom:
+    """random_scale was declared-but-dead in the reference config; here
+    it really zooms."""
+
+    def _sample(self, seed=0, shape=(12, 12, 12)):
+        rng = np.random.default_rng(seed)
+        return {
+            "image": rng.normal(size=(*shape, 2)).astype(np.float32),
+            "label": rng.integers(0, 4, shape).astype(np.int32),
+        }
+
+    def test_unit_scale_is_identity(self):
+        from multimodal_organ_segmentation_tpu.data.transforms import random_zoom
+
+        s = self._sample()
+        out = random_zoom(s, jax.random.key(0), scale_range=(1.0, 1.0), prob=1.0)
+        np.testing.assert_allclose(np.asarray(out["image"]), s["image"], atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out["label"]), s["label"])
+
+    def test_zoom_changes_image_keeps_shape_and_labels(self):
+        from multimodal_organ_segmentation_tpu.data.transforms import random_zoom
+
+        s = self._sample()
+        out = random_zoom(s, jax.random.key(1), scale_range=(1.2, 1.2), prob=1.0)
+        assert out["image"].shape == s["image"].shape
+        assert not np.allclose(np.asarray(out["image"]), s["image"])
+        assert set(np.unique(np.asarray(out["label"]))) <= set(np.unique(s["label"]))
+
+    def test_magnify_center_fixed(self):
+        """Scale about the center: the center voxel is (nearly) unchanged
+        under magnification."""
+        from multimodal_organ_segmentation_tpu.data.transforms import random_zoom
+
+        s = self._sample(shape=(13, 13, 13))  # odd → integer center
+        out = random_zoom(s, jax.random.key(2), scale_range=(1.3, 1.3), prob=1.0)
+        np.testing.assert_allclose(
+            np.asarray(out["image"])[6, 6, 6], s["image"][6, 6, 6], atol=1e-5
+        )
+
+    def test_pipeline_honors_random_scale_key(self, default_cfg):
+        cfg = default_cfg
+        cfg.set("model.backbone.img_size", [16, 16, 16])
+        cfg.set("data.augmentation.random_scale", [0.8, 0.8])
+        pipe = get_transforms(cfg, mode="train")
+        rng = np.random.default_rng(0)
+        sample = {
+            "image": rng.uniform(-500, 500, (20, 20, 20, 2)).astype(np.float32),
+            "label": rng.integers(0, 8, (20, 20, 20)).astype(np.int32),
+        }
+        out = pipe(sample, jax.random.key(0))
+        assert out["image"].shape == (16, 16, 16, 2)
+
+
 class TestElasticDeform:
     def _sample(self, seed=0, shape=(12, 12, 12)):
         rng = np.random.default_rng(seed)
