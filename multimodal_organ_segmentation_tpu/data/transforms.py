@@ -462,7 +462,7 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
         out = dict(sample)
         out["image"] = modality_normalize(out["image"], modalities, preprocess_cfg)
         if train_mode and aug_enabled:
-            k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+            k1, k2, k3, k4 = jax.random.split(key, 4)
             if do_flip:
                 out = random_flip(out, k1, prob=0.5)
             if do_rot:
@@ -472,6 +472,15 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
                     out, k3, shift_range=(-intensity, intensity), prob=0.3
                 )
             out = random_gaussian_noise(out, k4, std=0.05, prob=0.2)
+        if resize_needed:
+            out = resize_sample(out, img_size)
+        if train_mode and aug_enabled:
+            # resampling augs run AFTER the resize: at img_size (e.g. 96³)
+            # the coordinate meshgrid + gather cost ~two orders of
+            # magnitude less than at a native 512×512×N CT grid, and zoom/
+            # elastic commute with the linear resize to within
+            # interpolation error
+            k5, k6 = jax.random.split(jax.random.fold_in(key, 1))
             if scale_range is not None:
                 out = random_zoom(out, k6, scale_range=scale_range, prob=0.3)
             if do_elastic:
@@ -481,8 +490,6 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
                     alpha=float(elastic_cfg.get("alpha", 2.0)),
                     prob=float(elastic_cfg.get("prob", 0.3)),
                 )
-        if resize_needed:
-            out = resize_sample(out, img_size)
         return out
 
     seed = int(config.get("experiment.seed", 42))

@@ -84,11 +84,11 @@ class InferenceService:
         self.modalities = list(config.get("data.modalities", ["CT", "PET"]))
         trainer.init_state(np.zeros((*roi, len(self.modalities)), np.float32))
         trainer.load_params(checkpoint_path)
-        # _infer_params: the EMA weights when the checkpoint carries them
-        # (same selection rule as batch predict/eval)
-        self._variables = {
-            "params": trainer._infer_params(), **trainer.state.extra
-        }
+        # _inference_members: EMA-weight selection + inference.ensemble —
+        # the SAME member list as batch predict, so the two serving
+        # surfaces cannot diverge on the same config
+        self._members = trainer._inference_members()
+        self._variables = self._members[0]
 
         sw_cfg = config.get("inference.sliding_window", {}) or {}
         dp_mesh = None
@@ -235,6 +235,11 @@ class InferenceService:
         missing = [m for m in self.modalities if m not in inputs]
         if missing:
             raise RequestError(f"missing modalities {missing}; need {self.modalities}")
+        if probabilities and output_dir is None:
+            # the probability volume only exists as a saved file; computing
+            # and fetching hundreds of MB just to drop it would be silent
+            # waste — refuse up front
+            raise RequestError("probabilities: true requires output_dir")
 
         t0 = time.perf_counter()
         try:
@@ -256,18 +261,31 @@ class InferenceService:
         # only device DISPATCH holds the lock; the host fetch of the mask
         # (tens of MB) runs outside it so the next request's dispatch can
         # overlap this one's transfer
+        import jax
+
+        is_ensemble = len(self._members) > 1
+        if is_ensemble:
+            # inference.ensemble: average member softmaxes — identical rule
+            # to Trainer.predict so batch and HTTP masks match
+            def run_sw(vol):
+                acc = None
+                for v in self._members:
+                    p = jax.nn.softmax(self.runner(vol, v), axis=-1)
+                    acc = p if acc is None else acc + p
+                return acc / len(self._members)
+
+        else:
+            run_sw = lambda vol: self.runner(vol, self._variables)
+
         probs = None
         with self._device_lock:
             if probabilities:
                 pred_dev, probs_dev = predict_labels(
-                    lambda v: self.runner(v, self._variables), image,
-                    tta=self.tta, return_probs=True,
+                    run_sw, image, tta=self.tta, return_probs=True,
+                    already_probs=is_ensemble,
                 )
             else:
-                pred_dev = predict_labels(
-                    lambda v: self.runner(v, self._variables), image,
-                    tta=self.tta,
-                )
+                pred_dev = predict_labels(run_sw, image, tta=self.tta)
         pred = np.asarray(pred_dev).astype(np.uint8)
         if probabilities:
             probs = np.asarray(probs_dev, dtype=np.float32)

@@ -158,6 +158,7 @@ class AsyncCheckpointWriter:
         self._thread.start()
         # the worker is a daemon (it must never wedge interpreter exit on a
         # hung filesystem); drain queued writes at exit instead of dropping
+        self._atexit = atexit
         atexit.register(self._drain_at_exit)
 
     def _worker(self) -> None:
@@ -219,6 +220,10 @@ class AsyncCheckpointWriter:
             self._closed = True
             self._cond.notify_all()
         self._thread.join(timeout=60)
+        try:
+            self._atexit.unregister(self._drain_at_exit)
+        except Exception:
+            pass
 
 
 class CheckpointPolicy:

@@ -259,15 +259,12 @@ class Trainer:
         )
         self.output_dir = ensure_dir(out_dir)
         # training.checkpoint.async: true → writes happen on a background
-        # worker; the loop pays only the host snapshot (checkpoint.py)
-        self._ckpt_writer = (
-            AsyncCheckpointWriter()
-            if bool(config.get("training.checkpoint.async", False))
-            else None
-        )
-        self.ckpt = CheckpointPolicy(
-            self.output_dir, config, writer=self._ckpt_writer
-        )
+        # worker; the loop pays only the host snapshot (checkpoint.py).
+        # Created lazily per train() and closed at its end so repeated
+        # Trainer construction (sweeps, tests) never leaks worker threads.
+        self._ckpt_async = bool(config.get("training.checkpoint.async", False))
+        self._ckpt_writer = None
+        self.ckpt = CheckpointPolicy(self.output_dir, config)
 
         # mesh=None → auto (build one when >1 devices); mesh=False → force
         # single-device (no mesh)
@@ -578,6 +575,10 @@ class Trainer:
                 ema_decay=self._ema_decay(),
             )
 
+        if self._ckpt_async and self._ckpt_writer is None:
+            self._ckpt_writer = AsyncCheckpointWriter()
+            self.ckpt.writer = self._ckpt_writer
+
         profile_dir = self.config.get("hardware.profile_dir")
         for epoch in range(self.current_epoch, self.epochs):
             self.current_epoch = epoch
@@ -631,8 +632,12 @@ class Trainer:
 
         if self._ckpt_writer is not None:
             # don't return before every queued write is on disk (writer
-            # errors surface here); an atexit hook covers crash paths
-            self._ckpt_writer.flush()
+            # errors surface here); an atexit hook covers crash paths.
+            # close() also stops the worker thread — no leak when many
+            # Trainers run in one process
+            self._ckpt_writer.close()
+            self._ckpt_writer = None
+            self.ckpt.writer = None
         return self.history
 
     def _train_epoch(self, lr: float) -> float:

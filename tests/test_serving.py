@@ -94,6 +94,28 @@ class TestInferenceService:
             np.asarray(probs).argmax(-1), np.asarray(pred)
         )
 
+    def test_probabilities_requires_output_dir(self, served):
+        config, ckpt, inputs, _ = served
+        svc = InferenceService(config, ckpt)
+        with pytest.raises(RequestError, match="output_dir"):
+            svc.segment(inputs, probabilities=True)
+
+    def test_ensemble_duplicate_matches_single(self, served, tmp_path):
+        """The HTTP service honors inference.ensemble with the same
+        softmax-average rule as the batch CLI: a duplicate-member ensemble
+        reproduces the single-model mask exactly."""
+        config, ckpt, inputs, workdir = served
+        svc1 = InferenceService(config, ckpt)
+        a = svc1.segment(inputs, output_dir=str(tmp_path / "s"), case_id="c")
+        cfg2 = config.copy()
+        cfg2.set("inference.ensemble", [ckpt])
+        svc2 = InferenceService(cfg2, ckpt)
+        assert len(svc2._members) == 2
+        b = svc2.segment(inputs, output_dir=str(tmp_path / "e"), case_id="c")
+        np.testing.assert_array_equal(
+            np.asarray(load_nifti(a["output"])), np.asarray(load_nifti(b["output"]))
+        )
+
     def test_missing_modality_raises(self, served):
         config, ckpt, inputs, _ = served
         svc = InferenceService(config, ckpt)
