@@ -160,6 +160,29 @@ def run_eval(config, logger) -> None:
     save_json(metrics, metrics_path)
     logger.info(f"Saved metrics: {metrics_path}")
 
+    # native-grid eval: per-case table for clinical review (one row per
+    # case, flattened per-class columns) next to the cohort JSON
+    if metrics.get("per_case"):
+        import csv
+
+        rows = metrics["per_case"]
+        csv_path = metrics_path.with_name(metrics_path.stem + "_cases.csv")
+        n_cls = len(rows[0]["dice_per_class"])
+        cols = ["case", "dice"] + [f"dice_c{c}" for c in range(n_cls)]
+        hd_key = next(k for k in rows[0] if k.startswith("hd"))
+        cols += [hd_key, "surface_dice"] + [
+            f"surface_dice_c{c}" for c in range(n_cls)
+        ]
+        with open(csv_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(cols)
+            for r in rows:
+                w.writerow(
+                    [r["case"], r["dice"], *r["dice_per_class"], r[hd_key],
+                     r["surface_dice"], *r["surface_dice_per_class"]]
+                )
+        logger.info(f"Saved per-case metrics: {csv_path}")
+
 
 def run_inference(config, logger) -> None:
     from multimodal_organ_segmentation_tpu.train.trainer import Trainer

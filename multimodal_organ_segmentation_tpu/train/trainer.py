@@ -851,20 +851,24 @@ class Trainer:
                     acc = p if acc is None else acc + p
                 return acc
 
+        from multimodal_organ_segmentation_tpu.train.metrics import (
+            _dice_update,
+        )
+
+        hd_pct = float(self.config.get("evaluation.hd_percentile", 95))
+        nsd_tol = float(
+            self.config.get("evaluation.surface_dice_tolerance_mm", 2.0)
+        )
         dice = DiceMetric(self.num_classes)
-        hd = HausdorffDistance(
-            percentile=float(self.config.get("evaluation.hd_percentile", 95))
-        )
-        nsd = SurfaceDice(
-            self.num_classes,
-            tolerance_mm=float(
-                self.config.get("evaluation.surface_dice_tolerance_mm", 2.0)
-            ),
-        )
+        hd = HausdorffDistance(percentile=hd_pct)
+        nsd = SurfaceDice(self.num_classes, tolerance_mm=nsd_tol)
+        per_case: List[Dict[str, Any]] = []
         n_cases = 0
+        smooth = 1e-5
         for batch in loader:
             images = np.asarray(batch["image"])
             labels = np.asarray(batch["label"]).astype(np.int32)
+            ids = batch.get("patient_id")
             for b in range(images.shape[0]):
                 logits = logits_for(jnp.asarray(images[b]))
                 pred = np.asarray(jnp.argmax(logits, axis=-1))
@@ -877,9 +881,50 @@ class Trainer:
                         spacing = tuple(
                             np.sqrt((A[:3, :3] ** 2).sum(axis=0)).tolist()
                         )
-                dice.update(pred[None], labels[b][None])
+                # streaming aggregates + per-case readouts: the per-case
+                # values are the DELTAS of each metric's state, so the
+                # expensive EDTs run exactly once per case
+                i, u = _dice_update(
+                    jnp.asarray(pred[None]), jnp.asarray(labels[b][None]),
+                    self.num_classes,
+                )
+                i, u = np.asarray(i, np.float64), np.asarray(u, np.float64)
+                dice.intersection += i
+                dice.union += u
+                dice.count += 1
+                case_dice = ((2.0 * i + smooth) / (u + smooth)).tolist()
+
+                n_hd = len(hd.distances)
                 hd.update(pred[None], labels[b][None], spacing=spacing)
+                case_hd = (
+                    float(hd.distances[-1])
+                    if len(hd.distances) > n_hd else None
+                )
+
+                n_nsd = [len(s) for s in nsd._scores]
                 nsd.update(pred[None], labels[b][None], spacing=spacing)
+                case_nsd = [
+                    float(s[-1]) if len(s) > n0 else None
+                    for s, n0 in zip(nsd._scores, n_nsd)
+                ]
+                seen = [v for v in case_nsd[1:] if v is not None]
+
+                case_id = (
+                    str(ids[b]) if ids is not None and b < len(ids)
+                    else f"case_{n_cases:03d}"
+                )
+                per_case.append(
+                    {
+                        "case": case_id,
+                        "dice": float(np.mean(case_dice[1:])),
+                        "dice_per_class": case_dice,
+                        f"hd{hd_pct:g}": case_hd,
+                        "surface_dice": (
+                            float(np.mean(seen)) if seen else None
+                        ),
+                        "surface_dice_per_class": case_nsd,
+                    }
+                )
                 n_cases += 1
 
         metrics: Dict[str, Any] = dice.compute()
@@ -889,6 +934,7 @@ class Trainer:
             metrics["hd95_std"] = hd_m["hausdorff_distance_std"]
         metrics.update(nsd.compute())
         metrics["num_cases"] = n_cases
+        metrics["per_case"] = per_case
         return metrics
 
     # -- inference ----------------------------------------------------------

@@ -129,6 +129,14 @@ class TestFullPipeline:
         assert 0.0 <= metrics["surface_dice"] <= 1.0
         assert len(metrics["surface_dice_per_class"]) == 4
         assert metrics["num_cases"] == 2
+        # per-case table: one row per case in the JSON and as a CSV
+        assert len(metrics["per_case"]) == 2
+        assert all(0.0 <= r["dice"] <= 1.0 for r in metrics["per_case"])
+        csv_path = mfile.with_name("eval_native_cases.csv")
+        assert csv_path.exists()
+        lines = csv_path.read_text().strip().splitlines()
+        assert len(lines) == 3  # header + 2 cases
+        assert lines[0].startswith("case,dice,")
 
     def test_4_inference(self, workdir, monkeypatch):
         monkeypatch.chdir(workdir)
