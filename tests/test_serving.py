@@ -232,6 +232,23 @@ class TestHTTPServer:
         # warmed bucket reused — no extra compile for the real request
         assert res["compiled_buckets"] == warm["compiled_buckets"]
 
+    def test_segment_probabilities_over_http(self, server):
+        base, inputs, workdir = server
+        res = self._post(base + "/v1/segment", {
+            "inputs": inputs,
+            "output_dir": str(workdir / "http_probs"),
+            "case_id": "httpP",
+            "probabilities": True,
+        })
+        assert res["probabilities"].endswith("httpP_prob.nii.gz")
+        probs = load_nifti(res["probabilities"])
+        assert probs.shape == (32, 32, 32, 4)
+        # probabilities without output_dir: explicit 400, not silent waste
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(base + "/v1/segment",
+                       {"inputs": inputs, "probabilities": True})
+        assert ei.value.code == 400
+
     def test_bad_request_is_400_and_server_survives(self, server):
         base, inputs, workdir = server
         with pytest.raises(urllib.error.HTTPError) as ei:
