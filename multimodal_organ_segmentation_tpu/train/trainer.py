@@ -602,13 +602,29 @@ class Trainer:
             self.history["val_dice"].append(val_dice)
             prev_metric = val_dice
 
+            dt = time.perf_counter() - t0
             if self.logger:
-                dt = time.perf_counter() - t0
                 self.logger.info(
                     f"Epoch [{epoch + 1}/{self.epochs}] "
                     f"Train Loss: {train_loss:.4f} Val Loss: {val_loss:.4f} "
                     f"Val Dice: {val_dice:.4f} LR: {lr:.2e} ({dt:.1f}s)"
                 )
+            # machine-readable epoch stream (one JSON object per line) for
+            # dashboards/experiment tracking; append-only so a resumed run
+            # keeps the full trajectory in one file. The reference keeps
+            # history only inside checkpoint pickles (trainer.py:182-187).
+            if jax.process_count() == 1 or jax.process_index() == 0:
+                import json as _json
+
+                with open(self.output_dir / "metrics.jsonl", "a") as f:
+                    f.write(_json.dumps({
+                        "epoch": epoch + 1,
+                        "train_loss": round(float(train_loss), 6),
+                        "val_loss": round(float(val_loss), 6),
+                        "val_dice": round(float(val_dice), 6),
+                        "lr": lr,
+                        "seconds": round(dt, 2),
+                    }) + "\n")
 
             # best-metric tracking is independent of checkpoint policy
             # (with save_best off, early stopping must still see the best)

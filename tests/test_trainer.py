@@ -175,6 +175,15 @@ class TestEndToEnd:
         assert (out / "last" / "meta.json").exists()
         assert (out / "best" / "meta.json").exists()
         assert (out / "epoch_2" / "meta.json").exists()
+        # machine-readable epoch stream: one JSON line per epoch
+        import json
+
+        lines = (out / "metrics.jsonl").read_text().strip().splitlines()
+        assert len(lines) == 3
+        rec = json.loads(lines[-1])
+        assert rec["epoch"] == 3
+        assert rec["train_loss"] == pytest.approx(history["train_loss"][-1], abs=1e-5)
+        assert "seconds" in rec and "lr" in rec
 
     def test_train_with_deep_supervision(self, tiny_cfg):
         """model.head.type=deep_supervision trains end-to-end: multi-scale
