@@ -289,6 +289,11 @@ class InferenceService:
         pred = np.asarray(pred_dev).astype(np.uint8)
         if probabilities:
             probs = np.asarray(probs_dev, dtype=np.float32)
+        from multimodal_organ_segmentation_tpu.ops.postprocess import (
+            postprocess_from_config,
+        )
+
+        pred = postprocess_from_config(pred, self.config)
         t_dev = time.perf_counter()
 
         result: Dict[str, Any] = {

@@ -975,6 +975,9 @@ class Trainer:
     def predict(self, input_path, output_path) -> List[str]:
         """Sliding-window inference over discovered cases; saves
         ``{case}_pred.nii.gz`` (uint8, source affine)."""
+        from multimodal_organ_segmentation_tpu.ops.postprocess import (
+            postprocess_from_config,
+        )
         from multimodal_organ_segmentation_tpu.ops.sliding_window import (
             predict_labels,
         )
@@ -1143,6 +1146,7 @@ class Trainer:
                             run_sw, image, tta=tta,
                         )
                     ).astype(np.uint8)
+                pred = postprocess_from_config(pred, self.config)
                 out_file = Path(output_path) / f"{case}_pred.nii.gz"
 
                 def _write(pred=pred, out_file=out_file, affine=affine,

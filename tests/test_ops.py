@@ -341,3 +341,60 @@ class TestSlidingWindowBatchInvariance:
                 np.asarray(out), np.asarray(ref), atol=1e-5,
                 err_msg=f"sw_batch_size={swb}",
             )
+
+
+class TestPostprocess:
+    """Largest-connected-component filtering (inference.postprocess)."""
+
+    def _mask(self):
+        m = np.zeros((16, 16, 16), np.uint8)
+        m[2:8, 2:8, 2:8] = 1       # class 1: big blob (216 vox)
+        m[12:14, 12:14, 12:14] = 1  # class 1: island (8 vox)
+        m[10:13, 2:5, 2:5] = 2     # class 2: single blob
+        return m
+
+    def test_keeps_largest_per_class(self):
+        from multimodal_organ_segmentation_tpu.ops.postprocess import (
+            keep_largest_components,
+        )
+
+        out = keep_largest_components(self._mask())
+        assert out[3, 3, 3] == 1          # big blob kept
+        assert out[12, 12, 12] == 0       # island removed
+        assert out[11, 3, 3] == 2         # other class untouched
+        assert (out == 1).sum() == 6 ** 3
+
+    def test_min_voxels_drops_tiny_class(self):
+        from multimodal_organ_segmentation_tpu.ops.postprocess import (
+            keep_largest_components,
+        )
+
+        out = keep_largest_components(self._mask(), min_voxels=100)
+        assert (out == 1).sum() == 6 ** 3   # 216 ≥ 100: kept
+        assert (out == 2).sum() == 0        # 27 < 100: dropped
+
+    def test_classes_restriction_and_purity(self):
+        from multimodal_organ_segmentation_tpu.ops.postprocess import (
+            keep_largest_components,
+        )
+
+        m = self._mask()
+        before = m.copy()
+        out = keep_largest_components(m, classes=[2])
+        np.testing.assert_array_equal(m, before)  # input untouched
+        assert out[12, 12, 12] == 1               # class 1 not filtered
+
+    def test_config_gate(self):
+        from multimodal_organ_segmentation_tpu.ops.postprocess import (
+            postprocess_from_config,
+        )
+        from multimodal_organ_segmentation_tpu.utils.config import ConfigNode
+
+        m = self._mask()
+        off = postprocess_from_config(m, ConfigNode({}))
+        np.testing.assert_array_equal(off, m)  # default: no-op
+        on = postprocess_from_config(
+            m,
+            ConfigNode({"inference": {"postprocess": {"largest_component": True}}}),
+        )
+        assert on[12, 12, 12] == 0
