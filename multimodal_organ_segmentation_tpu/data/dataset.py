@@ -33,13 +33,26 @@ class MultiModalDataset:
         data_root,
         modalities: Sequence[str],
         transform=None,
+        cache_bytes: int = 0,
     ):
+        """``cache_bytes`` > 0 keeps decoded pre-transform samples in host
+        RAM up to that budget (first-epoch insertion order): later epochs
+        skip the NIfTI read+gunzip+decode entirely — on clinical volumes
+        that IO dominates a CPU loader worker. Random augmentations still
+        vary per epoch (they run in the transform, after the cache). The
+        reference re-decodes every file every epoch (dataset.py:19-117)."""
+        import threading
+
         import pandas as pd
 
         self.data_root = Path(data_root)
         self.modalities = list(modalities)
         self.transform = transform
         self.df = pd.read_csv(csv_path)
+        self.cache_bytes = int(cache_bytes or 0)
+        self._cache: Dict[int, Dict[str, Any]] = {}
+        self._cache_used = 0
+        self._cache_lock = threading.Lock()
 
         missing = [
             c for c in ["patient_id", "label", *self.modalities] if c not in self.df.columns
@@ -55,6 +68,13 @@ class MultiModalDataset:
         return path if path.is_absolute() else self.data_root / path
 
     def load_raw(self, idx: int) -> Dict[str, Any]:
+        if self.cache_bytes:
+            with self._cache_lock:
+                hit = self._cache.get(idx)
+            if hit is not None:
+                # shallow copy: transforms replace dict values, never
+                # mutate the cached arrays in place
+                return dict(hit)
         row = self.df.iloc[idx]
         channels = []
         affine = None
@@ -65,12 +85,21 @@ class MultiModalDataset:
                 affine = aff
         image = np.stack(channels, axis=-1)  # [H, W, D, C]
         label = load_nifti(self._resolve(row["label"]), dtype=np.int32)
-        return {
+        sample = {
             "image": image,
             "label": label.astype(np.int32),
             "patient_id": str(row["patient_id"]),
             "affine": affine,
         }
+        if self.cache_bytes:
+            nbytes = image.nbytes + sample["label"].nbytes
+            with self._cache_lock:
+                if idx not in self._cache and (
+                    self._cache_used + nbytes <= self.cache_bytes
+                ):
+                    self._cache[idx] = dict(sample)
+                    self._cache_used += nbytes
+        return sample
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         sample = self.load_raw(idx)
@@ -128,4 +157,5 @@ def get_dataset(config, split: str = "train", transform=None) -> MultiModalDatas
         data_root=data_root,
         modalities=data_cfg.get("modalities", ["CT", "PET"]),
         transform=transform,
+        cache_bytes=int(float(data_cfg.get("cache_gb", 0) or 0) * 2**30),
     )

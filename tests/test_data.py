@@ -393,6 +393,54 @@ class TestSyntheticAndLoader:
         assert "label" not in s
 
 
+class TestDecodedCache:
+    def _dataset(self, tmp_path, cache_bytes):
+        from multimodal_organ_segmentation_tpu.data.dataset import (
+            MultiModalDataset,
+        )
+
+        generate_synthetic_dataset(
+            tmp_path, n_train=2, n_val=1, n_test=1, shape=(8, 8, 8),
+            num_classes=3, seed=0,
+        )
+        return MultiModalDataset(
+            csv_path=tmp_path / "train.csv",
+            data_root=tmp_path,
+            modalities=["CT", "PET"],
+            cache_bytes=cache_bytes,
+        )
+
+    def test_cache_survives_file_deletion(self, tmp_path):
+        """Proof the second epoch never touches disk: delete the NIfTIs
+        after the first read — the cached sample still loads, bit-equal."""
+        import shutil
+
+        ds = self._dataset(tmp_path, cache_bytes=1 << 30)
+        first = ds[0]
+        shutil.rmtree(tmp_path / "train")
+        second = ds[0]
+        np.testing.assert_array_equal(
+            np.asarray(first["image"]), np.asarray(second["image"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(first["label"]), np.asarray(second["label"])
+        )
+
+    def test_budget_zero_disables_cache(self, tmp_path):
+        import shutil
+
+        ds = self._dataset(tmp_path, cache_bytes=0)
+        ds[0]
+        shutil.rmtree(tmp_path / "train")
+        with pytest.raises(Exception):
+            ds[0]
+
+    def test_budget_bounds_memory(self, tmp_path):
+        ds = self._dataset(tmp_path, cache_bytes=1)  # too small for anything
+        ds[0]
+        assert ds._cache_used == 0 and not ds._cache
+
+
 class TestDevicePrefetch:
     def test_prefetch_preserves_batches(self, tmp_path, default_cfg):
         from multimodal_organ_segmentation_tpu.data import get_dataloader
