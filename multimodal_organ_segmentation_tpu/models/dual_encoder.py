@@ -89,6 +89,10 @@ class DualEncoder(nn.Module):
     # both memory and the O(N²) compute, so a mesh pushes attention up the
     # pyramid (see _fuse).
     xattn_max_tokens: int = 16384
+    # aux 1×1 heads on intermediate decoder stages (same contract as
+    # UNet3D.deep_supervision; the trainer's loss wrapper applies the
+    # 2^-k weights; inference output unchanged)
+    deep_supervision: bool = False
 
     @nn.compact
     def __call__(
@@ -117,6 +121,7 @@ class DualEncoder(nn.Module):
 
         y = fused[-1]
         skips = fused[:-1]
+        aux_logits: List[jax.Array] = []
         for j, i in enumerate(range(len(feats) - 1, 0, -1)):
             y = UpBlock3D(
                 features=feats[i - 1],
@@ -125,11 +130,34 @@ class DualEncoder(nn.Module):
                 dtype=self.dtype,
                 name=f"up{j}",
             )(y, skips[i - 1], train)
+            if self.deep_supervision and i > 1:
+                # params exist regardless of `train` (init tree == train
+                # tree); unused inference results are DCE'd by XLA
+                aux_logits.append(
+                    nn.Conv(
+                        self.out_channels, (1, 1, 1), dtype=jnp.float32,
+                        name=f"ds_head{j}",
+                    )(y.astype(jnp.float32))
+                )
 
         y = Dropout3D(self.dropout)(y, train)
         logits = nn.Conv(
             self.out_channels, (1, 1, 1), dtype=jnp.float32, name="out_conv"
         )(y.astype(jnp.float32))
+
+        if self.deep_supervision and train and aux_logits:
+            from multimodal_organ_segmentation_tpu.ops.resize import resize_linear
+
+            full = tuple(logits.shape[1:4])
+            outs = [logits] + [
+                resize_linear(a, full, (1, 2, 3)) for a in reversed(aux_logits)
+            ]
+            if capture:
+                return outs, {
+                    "encoder_features": all_encoder_features,
+                    "fused_features": fused,
+                }
+            return outs
 
         if capture:
             return logits, {
@@ -258,4 +286,7 @@ def build_dual_encoder(config, dtype=jnp.float32) -> DualEncoder:
         sequence_axis=str(sequence_axis) if sequence_axis else None,
         mesh=mesh,
         xattn_max_tokens=int(fusion.get("max_tokens", 16384)),
+        deep_supervision=(
+            str(config.get("model.head.type", "conv")) == "deep_supervision"
+        ),
     )

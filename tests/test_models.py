@@ -206,6 +206,22 @@ class TestDeepSupervision:
         single = model.apply(variables, x, train=False)
         assert single.shape == (1, 32, 32, 32, 4)
 
+    def test_dual_encoder_train_outputs(self):
+        model = DualEncoder(
+            num_modalities=2, out_channels=3, features=(4, 8, 16),
+            fusion_type="concat", deep_supervision=True,
+        )
+        x = jnp.zeros((1, 16, 16, 16, 2))
+        variables = model.init(jax.random.key(0), x, train=False)
+        outs = model.apply(
+            variables, x, train=True, rngs={"dropout": jax.random.key(1)}
+        )
+        assert isinstance(outs, list) and len(outs) == 2
+        for o in outs:
+            assert o.shape == (1, 16, 16, 16, 3)
+        single = model.apply(variables, x, train=False)
+        assert single.shape == (1, 16, 16, 16, 3)
+
     def test_loss_wrapper_weighting(self):
         from multimodal_organ_segmentation_tpu.train.losses import (
             dice_ce_loss,
