@@ -230,6 +230,70 @@ class TestZero1:
         for p in jax.tree_util.tree_leaves(t.state.params):
             assert p.sharding.is_fully_replicated
 
+    def test_zero1_composes_with_ema(self):
+        """ZeRO-1 sharded moments + in-step EMA in one train step: loss
+        finite, moments stay sharded, EMA updates and stays replicated."""
+        from multimodal_organ_segmentation_tpu.parallel.mesh import (
+            shard_opt_state,
+            zero1_constrainer,
+        )
+
+        model = UNet3D(out_channels=3, features=(8, 16))
+        cfg = default_config()
+        tx = make_optimizer(cfg)
+        rng = np.random.default_rng(0)
+        images = rng.normal(size=(1, 8, 8, 8, 8, 1)).astype(np.float32)
+        labels = rng.integers(0, 3, size=(1, 8, 8, 8, 8)).astype(np.int32)
+        x0 = jnp.zeros((1, 8, 8, 8, 1))
+        variables = dict(model.init(jax.random.key(0), x0, train=False))
+        params = variables.pop("params")
+        mesh = make_mesh(None)
+        # host snapshot BEFORE the step: donation of the replicated state
+        # can delete buffers shared with the original device arrays
+        p0_host = jax.tree_util.tree_map(np.asarray, params)
+        state = replicate_tree(
+            TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                opt_state=tx.init(params),
+                extra={},
+                ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            ),
+            mesh,
+        )
+        state = state.replace(opt_state=shard_opt_state(state.opt_state, mesh))
+        step = make_train_step(
+            model, tx, lambda lg, lb: dice_ce_loss(lg, lb), accum_steps=1,
+            opt_constraint=zero1_constrainer(mesh), ema_decay=0.5,
+        )
+        spec = lambda nd: NamedSharding(mesh, P(*([None, "data"] + [None] * (nd - 2))))
+        new, m = step(
+            state,
+            jax.device_put(images, spec(images.ndim)),
+            jax.device_put(labels, spec(labels.ndim)),
+            jax.random.key(1),
+        )
+        assert np.isfinite(float(m["loss"]))
+        sharded = [
+            x for x in jax.tree_util.tree_leaves(new.opt_state)
+            if hasattr(x, "sharding") and x.ndim > 0
+            and not x.sharding.is_fully_replicated
+        ]
+        assert sharded
+        # EMA values are exactly 0.5·init + 0.5·new_params (placement is
+        # GSPMD's choice — it may shard EMA leaves like the moments, which
+        # is just free ZeRO-style memory saving)
+        for e, p0, p1 in zip(
+            jax.tree_util.tree_leaves(new.ema_params),
+            jax.tree_util.tree_leaves(p0_host),
+            jax.tree_util.tree_leaves(new.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(e),
+                0.5 * np.asarray(p0) + 0.5 * np.asarray(p1),
+                atol=1e-6,
+            )
+
     def test_resume_replaces_zero1_sharding(self, tmp_path):
         """Checkpoints restore as host numpy; resume must re-place params
         replicated and the Adam moments ZeRO-1-sharded (not leave numpy
