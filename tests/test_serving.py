@@ -269,6 +269,57 @@ class TestHTTPServer:
         with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
             assert json.loads(r.read())["status"] == "ok"
 
+    def test_serve_cli_lifecycle_sigterm_drains(self, served):
+        """The real `main.py --mode serve` process: binds an OS-assigned
+        port, answers /healthz, and exits 0 on SIGTERM (preemption drain)."""
+        import os
+        import re
+        import signal
+        import subprocess
+        import sys
+        import threading as th
+
+        config, ckpt, inputs, workdir = served
+        repo = str(Path(__file__).resolve().parents[1])
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.Popen(
+            [sys.executable, "main.py", "--mode", "serve",
+             "--config", str(workdir / "cfg.yaml"), "--checkpoint", ckpt,
+             "--device", "cpu", "--port", "0"],
+            cwd=repo, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        url = {}
+
+        def _watch():
+            for line in proc.stdout:
+                url.setdefault("log", []).append(line)
+                m = re.search(r"http://[\d.]+:(\d+)", line)
+                if m:
+                    url["port"] = int(m.group(1))
+                    return
+
+        w = th.Thread(target=_watch, daemon=True)
+        w.start()
+        w.join(timeout=180)
+        try:
+            if "port" not in url:
+                pytest.skip(
+                    "serve process did not come up in time: "
+                    + "".join(url.get("log", []))[-300:]
+                )
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{url['port']}/healthz", timeout=30
+            ) as r:
+                assert json.loads(r.read())["status"] == "ok"
+            proc.send_signal(signal.SIGTERM)
+            rc = proc.wait(timeout=60)
+            assert rc == 0  # clean drain, supervisor-restartable
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+
     def test_stats_endpoint(self, server):
         base, _, _ = server
         with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
