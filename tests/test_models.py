@@ -206,6 +206,22 @@ class TestDeepSupervision:
         single = model.apply(variables, x, train=False)
         assert single.shape == (1, 32, 32, 32, 4)
 
+    def test_swin_scan_blocks_composes_with_ds(self):
+        """scan_blocks (rolled encoder stages) + deep supervision (decoder
+        aux heads) touch disjoint parts of the graph — both at once."""
+        model = SwinUNETR(
+            out_channels=3, feature_size=4, depths=(2, 2, 2, 2),
+            num_heads=(1, 2, 2, 4), window_size=(2, 2, 2),
+            scan_blocks=True, deep_supervision=True,
+        )
+        x = jnp.zeros((1, 32, 32, 32, 1))
+        variables = model.init(jax.random.key(0), x, train=False)
+        outs = model.apply(
+            variables, x, train=True, rngs={"dropout": jax.random.key(1)}
+        )
+        assert isinstance(outs, list) and len(outs) == 3
+        assert model.apply(variables, x, train=False).shape == (1, 32, 32, 32, 3)
+
     def test_dual_encoder_train_outputs(self):
         model = DualEncoder(
             num_modalities=2, out_channels=3, features=(4, 8, 16),
