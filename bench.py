@@ -232,7 +232,48 @@ def _bench_train_step_batched(jax, jnp, roi=64, micro=2, n_iters=5):
         return None, None, None
 
 
+def _backend_alive(timeout_s: int = 600) -> bool:
+    """Probe the TPU backend in a CHILD process with a hard timeout.
+
+    The axon relay can go hard-down (r3: backend init hung indefinitely
+    for >10 h); without this guard the whole bench hangs past any driver
+    timeout and records nothing. A child process is the only safe probe —
+    a hung backend init in THIS process cannot be cancelled."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print('OK', float(jax.jit(lambda: jnp.sum(jnp.ones((8,8))))()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0 and b"OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_alive():
+        # honest failure: report the outage instead of hanging the driver
+        print(
+            "# TPU backend unreachable (relay down) — no measurement",
+            file=sys.stderr, flush=True,
+        )
+        print(json.dumps({
+            "metric": "volumes/min/chip sliding-window inference (SwinUNETR "
+            "+ PET/CT cross-attention fusion) — NOT MEASURED: TPU backend "
+            "unreachable (axon relay down; backend init hangs). Last "
+            "measured value on this code: 43.53 (see CLAUDE.md perf log).",
+            "value": 0.0,
+            "unit": "volumes/min/chip",
+            "vs_baseline": 0.0,
+            "extra": {"error": "tpu_backend_unreachable"},
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
 
