@@ -232,13 +232,19 @@ def _bench_train_step_batched(jax, jnp, roi=64, micro=2, n_iters=5):
         return None, None, None
 
 
-def _backend_alive(timeout_s: int = 600) -> bool:
+def _backend_probe(timeout_s: int = 600):
     """Probe the TPU backend in a CHILD process with a hard timeout.
 
     The axon relay can go hard-down (r3: backend init hung indefinitely
     for >10 h); without this guard the whole bench hangs past any driver
     timeout and records nothing. A child process is the only safe probe —
-    a hung backend init in THIS process cannot be cancelled."""
+    a hung backend init in THIS process cannot be cancelled.
+
+    Returns ``(error_kind, detail)``: ``(None, None)`` when healthy;
+    ``("tpu_backend_unreachable", ...)`` only on an actual HANG (the relay
+    outage signature); ``("backend_probe_failed", stderr_tail)`` when the
+    child exits nonzero — that is a code/env regression, NOT the outage,
+    and must be surfaced as such."""
     import subprocess
 
     code = (
@@ -250,27 +256,35 @@ def _backend_alive(timeout_s: int = 600) -> bool:
             [sys.executable, "-c", code], timeout=timeout_s,
             capture_output=True,
         )
-        return r.returncode == 0 and b"OK" in r.stdout
     except subprocess.TimeoutExpired:
-        return False
+        return "tpu_backend_unreachable", f"probe hung >{timeout_s}s"
+    if r.returncode == 0 and b"OK" in r.stdout:
+        return None, None
+    tail = (r.stderr or r.stdout or b"").decode(errors="replace")[-400:]
+    return "backend_probe_failed", f"exit={r.returncode}: {tail}"
 
 
 def main():
-    if not _backend_alive():
-        # honest failure: report the outage instead of hanging the driver
+    err_kind, err_detail = _backend_probe()
+    if err_kind is not None:
+        # honest failure: report WHICH failure instead of hanging the driver
         print(
-            "# TPU backend unreachable (relay down) — no measurement",
+            f"# TPU backend probe failed ({err_kind}): {err_detail}",
             file=sys.stderr, flush=True,
+        )
+        desc = (
+            "TPU backend unreachable (axon relay down; backend init hangs)"
+            if err_kind == "tpu_backend_unreachable"
+            else "backend probe crashed — code/env regression, not the relay"
         )
         print(json.dumps({
             "metric": "volumes/min/chip sliding-window inference (SwinUNETR "
-            "+ PET/CT cross-attention fusion) — NOT MEASURED: TPU backend "
-            "unreachable (axon relay down; backend init hangs). Last "
+            f"+ PET/CT cross-attention fusion) — NOT MEASURED: {desc}. Last "
             "measured value on this code: 43.53 (see CLAUDE.md perf log).",
             "value": 0.0,
             "unit": "volumes/min/chip",
             "vs_baseline": 0.0,
-            "extra": {"error": "tpu_backend_unreachable"},
+            "extra": {"error": err_kind, "detail": err_detail},
         }))
         return
 

@@ -24,6 +24,36 @@ import numpy as np
 from multimodal_organ_segmentation_tpu.utils.io import load_nifti
 
 
+class _CacheBudget:
+    """Process-global decoded-volume cache accounting.
+
+    ``data.cache_gb`` is a HOST-RAM budget, so it must bound the sum across
+    every dataset instance in the process (train+val+test splits), not be
+    granted once per split — otherwise a run that builds train and val
+    loaders caches up to 2x the configured budget.
+    """
+
+    def __init__(self):
+        import threading
+
+        self.lock = threading.Lock()
+        self.used = 0
+
+    def try_charge(self, nbytes: int, limit: int) -> bool:
+        with self.lock:
+            if self.used + nbytes <= limit:
+                self.used += nbytes
+                return True
+            return False
+
+    def release(self, nbytes: int) -> None:
+        with self.lock:
+            self.used -= nbytes
+
+
+_CACHE_BUDGET = _CacheBudget()
+
+
 class MultiModalDataset:
     """CSV-driven multi-modality segmentation dataset."""
 
@@ -94,12 +124,20 @@ class MultiModalDataset:
         if self.cache_bytes:
             nbytes = image.nbytes + sample["label"].nbytes
             with self._cache_lock:
-                if idx not in self._cache and (
-                    self._cache_used + nbytes <= self.cache_bytes
+                if idx not in self._cache and _CACHE_BUDGET.try_charge(
+                    nbytes, self.cache_bytes
                 ):
                     self._cache[idx] = dict(sample)
                     self._cache_used += nbytes
         return sample
+
+    def __del__(self):
+        # return this instance's share of the process-global budget so
+        # short-lived datasets (eval scripts, tests) don't leak it
+        try:
+            _CACHE_BUDGET.release(self._cache_used)
+        except Exception:
+            pass
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         sample = self.load_raw(idx)

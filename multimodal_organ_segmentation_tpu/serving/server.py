@@ -289,12 +289,14 @@ class InferenceService:
         pred = np.asarray(pred_dev).astype(np.uint8)
         if probabilities:
             probs = np.asarray(probs_dev, dtype=np.float32)
+        t_dev = time.perf_counter()
+        # host-side CPU cleanup stays OUTSIDE device_s so the /v1/stats
+        # device-latency percentiles measure the accelerator, not scipy
         from multimodal_organ_segmentation_tpu.ops.postprocess import (
             postprocess_from_config,
         )
 
         pred = postprocess_from_config(pred, self.config)
-        t_dev = time.perf_counter()
 
         result: Dict[str, Any] = {
             "case_id": case_id,

@@ -555,6 +555,30 @@ class Trainer:
 
     # -- loops ------------------------------------------------------------
 
+    def _prune_metrics_stream(self) -> None:
+        """Drop metrics.jsonl lines for epochs this run is about to re-write.
+
+        A fresh run in an existing experiment dir, or a resume from a
+        non-last checkpoint (e.g. ``best``), would otherwise append a second
+        record for the same epoch — dashboards would double-count or plot a
+        sawtooth. Lines with ``epoch <= current_epoch`` (already completed,
+        not re-run) are kept so the file stays the full trajectory.
+        """
+        import json as _json
+
+        path = self.output_dir / "metrics.jsonl"
+        if not path.exists():
+            return
+        kept = []
+        for line in path.read_text().splitlines():
+            try:
+                rec = _json.loads(line.replace("NaN", "null"))
+            except Exception:
+                continue
+            if int(rec.get("epoch", 0)) <= self.current_epoch:
+                kept.append(line)
+        path.write_text("".join(l + "\n" for l in kept))
+
     def train(self) -> Dict[str, List[float]]:
         assert self.train_loader is not None, "train requires a train_loader"
         es_cfg = self.config.get("training.early_stopping", {}) or {}
@@ -578,6 +602,9 @@ class Trainer:
         if self._ckpt_async and self._ckpt_writer is None:
             self._ckpt_writer = AsyncCheckpointWriter()
             self.ckpt.writer = self._ckpt_writer
+
+        if jax.process_count() == 1 or jax.process_index() == 0:
+            self._prune_metrics_stream()
 
         profile_dir = self.config.get("hardware.profile_dir")
         for epoch in range(self.current_epoch, self.epochs):
@@ -611,17 +638,24 @@ class Trainer:
                 )
             # machine-readable epoch stream (one JSON object per line) for
             # dashboards/experiment tracking; append-only so a resumed run
-            # keeps the full trajectory in one file. The reference keeps
-            # history only inside checkpoint pickles (trainer.py:182-187).
+            # keeps the full trajectory in one file (stale lines for epochs
+            # about to be re-run are pruned at train() start). The reference
+            # keeps history only inside checkpoint pickles (trainer.py:182-187).
             if jax.process_count() == 1 or jax.process_index() == 0:
                 import json as _json
+
+                def _num(x):
+                    # strict-JSON consumers (jq, JSON.parse, pandas) reject
+                    # bare NaN/Infinity tokens — emit null instead
+                    x = float(x)
+                    return round(x, 6) if np.isfinite(x) else None
 
                 with open(self.output_dir / "metrics.jsonl", "a") as f:
                     f.write(_json.dumps({
                         "epoch": epoch + 1,
-                        "train_loss": round(float(train_loss), 6),
-                        "val_loss": round(float(val_loss), 6),
-                        "val_dice": round(float(val_dice), 6),
+                        "train_loss": _num(train_loss),
+                        "val_loss": _num(val_loss),
+                        "val_dice": _num(val_dice),
                         "lr": lr,
                         "seconds": round(dt, 2),
                     }) + "\n")
@@ -867,6 +901,9 @@ class Trainer:
                     acc = p if acc is None else acc + p
                 return acc
 
+        from multimodal_organ_segmentation_tpu.ops.postprocess import (
+            postprocess_from_config as _eval_postprocess,
+        )
         from multimodal_organ_segmentation_tpu.train.metrics import (
             _dice_update,
         )
@@ -888,6 +925,9 @@ class Trainer:
             for b in range(images.shape[0]):
                 logits = logits_for(jnp.asarray(images[b]))
                 pred = np.asarray(jnp.argmax(logits, axis=-1))
+                # score the DEPLOYED pipeline: the same inference.postprocess
+                # filter predict()/serving apply is applied before metrics
+                pred = _eval_postprocess(pred, self.config)
                 spacing = None
                 affines = batch.get("affine")
                 if affines is not None and affines[b] is not None:
@@ -908,7 +948,13 @@ class Trainer:
                 dice.intersection += i
                 dice.union += u
                 dice.count += 1
-                case_dice = ((2.0 * i + smooth) / (u + smooth)).tolist()
+                # per-case, a class absent from BOTH pred and GT (union==0)
+                # is reported None — not a vacuous 1.0 that would inflate
+                # the case mean — matching the hd/surface_dice columns
+                case_dice = [
+                    float((2.0 * ii + smooth) / (uu + smooth)) if uu > 0 else None
+                    for ii, uu in zip(i.tolist(), u.tolist())
+                ]
 
                 n_hd = len(hd.distances)
                 hd.update(pred[None], labels[b][None], spacing=spacing)
@@ -929,10 +975,13 @@ class Trainer:
                     str(ids[b]) if ids is not None and b < len(ids)
                     else f"case_{n_cases:03d}"
                 )
+                fg_present = [v for v in case_dice[1:] if v is not None]
                 per_case.append(
                     {
                         "case": case_id,
-                        "dice": float(np.mean(case_dice[1:])),
+                        "dice": (
+                            float(np.mean(fg_present)) if fg_present else None
+                        ),
                         "dice_per_class": case_dice,
                         f"hd{hd_pct:g}": case_hd,
                         "surface_dice": (

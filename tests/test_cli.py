@@ -117,3 +117,45 @@ class TestModeErrors:
         cfg["_args"] = {"input": None, "output": None}
         with pytest.raises(ValueError, match="--input"):
             run_preprocess(cfg, logging.getLogger("t"))
+
+
+class TestBenchProbe:
+    """bench.py's backend probe must distinguish a relay HANG from a code
+    crash — a regression must never be recorded as 'relay down'."""
+
+    def _probe(self, monkeypatch, behavior):
+        import subprocess
+
+        import bench
+
+        if behavior == "hang":
+            def fake_run(*a, **k):
+                raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+        elif behavior == "crash":
+            def fake_run(*a, **k):
+                class R:
+                    returncode = 1
+                    stdout = b""
+                    stderr = b"ModuleNotFoundError: jax is broken"
+                return R()
+        else:
+            def fake_run(*a, **k):
+                class R:
+                    returncode = 0
+                    stdout = b"OK 64.0\n"
+                    stderr = b""
+                return R()
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        return bench._backend_probe(timeout_s=1)
+
+    def test_hang_is_relay_outage(self, monkeypatch):
+        kind, detail = self._probe(monkeypatch, "hang")
+        assert kind == "tpu_backend_unreachable"
+
+    def test_crash_is_not_relay_outage(self, monkeypatch):
+        kind, detail = self._probe(monkeypatch, "crash")
+        assert kind == "backend_probe_failed"
+        assert "jax is broken" in detail
+
+    def test_healthy(self, monkeypatch):
+        assert self._probe(monkeypatch, "ok") == (None, None)

@@ -440,6 +440,29 @@ class TestDecodedCache:
         ds[0]
         assert ds._cache_used == 0 and not ds._cache
 
+    def test_budget_shared_across_instances(self, tmp_path):
+        """data.cache_gb is a HOST-RAM budget: train+val instances share one
+        process-global pool instead of each claiming the full budget."""
+        from multimodal_organ_segmentation_tpu.data import dataset as ds_mod
+
+        ds_mod._CACHE_BUDGET.used = 0  # isolate from other tests' datasets
+        ds1 = self._dataset(tmp_path, cache_bytes=0)
+        sample = ds1.load_raw(0)
+        nbytes = sample["image"].nbytes + sample["label"].nbytes
+        budget = int(nbytes * 1.5)  # room for one sample, not two
+
+        ds_a = self._dataset(tmp_path / "a", cache_bytes=budget)
+        ds_b = self._dataset(tmp_path / "b", cache_bytes=budget)
+        ds_a.load_raw(0)
+        ds_b.load_raw(0)
+        assert ds_a._cache_used == nbytes
+        # the second instance found the global pool exhausted
+        assert ds_b._cache_used == 0 and not ds_b._cache
+        # releasing the first instance's share frees the pool
+        del ds_a
+        ds_b.load_raw(1)
+        assert ds_b._cache_used == nbytes
+
 
 class TestDevicePrefetch:
     def test_prefetch_preserves_batches(self, tmp_path, default_cfg):

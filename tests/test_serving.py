@@ -305,10 +305,15 @@ class TestHTTPServer:
         w.join(timeout=180)
         try:
             if "port" not in url:
-                pytest.skip(
-                    "serve process did not come up in time: "
-                    + "".join(url.get("log", []))[-300:]
-                )
+                log_tail = "".join(url.get("log", []))[-300:]
+                # a DEAD process is a regression and must FAIL; skip is
+                # reserved for a genuinely slow start (process still alive)
+                if proc.poll() is not None:
+                    pytest.fail(
+                        f"serve process died at startup (rc={proc.returncode}): "
+                        + log_tail
+                    )
+                pytest.skip("serve process did not come up in time: " + log_tail)
             with urllib.request.urlopen(
                 f"http://127.0.0.1:{url['port']}/healthz", timeout=30
             ) as r:

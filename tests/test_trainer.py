@@ -185,6 +185,39 @@ class TestEndToEnd:
         assert rec["train_loss"] == pytest.approx(history["train_loss"][-1], abs=1e-5)
         assert "seconds" in rec and "lr" in rec
 
+    def test_metrics_stream_pruned_and_strict_json(self, tiny_cfg):
+        """Re-running an experiment dir prunes stale metrics.jsonl lines
+        (no duplicate epochs for dashboards), and records never contain
+        bare NaN tokens strict JSON parsers reject."""
+        import json
+
+        out = Path(tiny_cfg.get("experiment.output_dir")) / str(
+            tiny_cfg.get("experiment.name")
+        )
+        out.mkdir(parents=True, exist_ok=True)
+        # stale stream from a previous run, including a legacy NaN token
+        (out / "metrics.jsonl").write_text(
+            '{"epoch": 1, "train_loss": NaN, "val_loss": 0.5}\n'
+            '{"epoch": 9, "train_loss": 0.1, "val_loss": 0.1}\n'
+        )
+        trainer = Trainer(
+            tiny_cfg,
+            train_loader=get_dataloader(tiny_cfg, split="train"),
+            val_loader=get_dataloader(tiny_cfg, split="val"),
+        )
+        trainer.train()
+
+        text = (out / "metrics.jsonl").read_text()
+        assert "NaN" not in text and "Infinity" not in text
+        lines = text.strip().splitlines()
+        recs = [
+            json.loads(l, parse_constant=lambda c: pytest.fail(f"bare {c}"))
+            for l in lines
+        ]
+        # fresh run from epoch 0: stale epochs 1 and 9 were pruned, the new
+        # trajectory is exactly 1..3 with no duplicates
+        assert [r["epoch"] for r in recs] == [1, 2, 3]
+
     def test_train_with_deep_supervision(self, tiny_cfg):
         """model.head.type=deep_supervision trains end-to-end: multi-scale
         loss in the train step, single-output eval unchanged."""
