@@ -76,6 +76,17 @@ def parse_args(argv=None) -> argparse.Namespace:
         "--port", type=int, default=None, help="HTTP port for serve mode"
     )
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument(
+        "--set",
+        dest="overrides",
+        action="append",
+        default=None,
+        metavar="KEY=VALUE",
+        help="override any config key by dotted path (repeatable); the "
+        "value is YAML-parsed, e.g. --set training.ema_decay=0.999 "
+        "--set experiment.tensorboard=true "
+        "--set 'model.backbone.features=[16,32,64]'",
+    )
     parser.add_argument("--verbose", "-v", action="store_true")
     parser.add_argument("--debug", action="store_true")
     return parser.parse_args(argv)

@@ -603,8 +603,18 @@ class Trainer:
             self._ckpt_writer = AsyncCheckpointWriter()
             self.ckpt.writer = self._ckpt_writer
 
+        tb_writer = None
         if jax.process_count() == 1 or jax.process_index() == 0:
             self._prune_metrics_stream()
+            if bool(self.config.get("experiment.tensorboard", False)):
+                # the reference DECLARES tensorboard (requirements.txt:32)
+                # but never imports it; this is the real event stream,
+                # dependency-free (utils/tensorboard.py)
+                from multimodal_organ_segmentation_tpu.utils.tensorboard import (
+                    SummaryWriter,
+                )
+
+                tb_writer = SummaryWriter(self.output_dir / "tb")
 
         profile_dir = self.config.get("hardware.profile_dir")
         for epoch in range(self.current_epoch, self.epochs):
@@ -659,6 +669,18 @@ class Trainer:
                         "lr": lr,
                         "seconds": round(dt, 2),
                     }) + "\n")
+                if tb_writer is not None:
+                    tb_writer.add_scalars(
+                        {
+                            "loss/train": train_loss,
+                            "loss/val": val_loss,
+                            "metrics/val_dice": val_dice,
+                            "lr": lr,
+                            "time/epoch_seconds": dt,
+                        },
+                        step=epoch + 1,
+                    )
+                    tb_writer.flush()
 
             # best-metric tracking is independent of checkpoint policy
             # (with save_best off, early stopping must still see the best)
@@ -680,6 +702,8 @@ class Trainer:
                     self.logger.info(f"Early stopping at epoch {epoch + 1}")
                 break
 
+        if tb_writer is not None:
+            tb_writer.close()
         if self._ckpt_writer is not None:
             # don't return before every queued write is on disk (writer
             # errors surface here); an atexit hook covers crash paths.

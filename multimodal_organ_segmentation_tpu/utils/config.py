@@ -159,6 +159,20 @@ def merge_config_with_args(config: ConfigNode, args) -> ConfigNode:
         if value is not None:
             config.set(path, value)
 
+    # generic dotted-path overrides (--set key=value, repeatable) — the
+    # escape hatch the reference lacks: any config key is reachable from
+    # the CLI without editing YAML. Values are YAML-parsed so booleans,
+    # numbers and lists come through typed.
+    for kv in getattr(args, "overrides", None) or []:
+        key, sep, raw = kv.partition("=")
+        if not sep or not key.strip():
+            raise ValueError(
+                f"--set expects KEY=VALUE with a dotted config path, got {kv!r}"
+            )
+        import yaml
+
+        config.set(key.strip(), yaml.safe_load(raw) if raw.strip() else None)
+
     for flag, path in [
         ("suv_analysis", "analysis.suv.enabled"),
         ("tmtv_analysis", "analysis.tmtv.enabled"),

@@ -115,3 +115,28 @@ def test_nifti_roundtrip(tmp_path):
     out, aff = load_nifti(tmp_path / "v.nii.gz", return_affine=True)
     np.testing.assert_allclose(out, vol, rtol=1e-6)
     np.testing.assert_allclose(aff, affine)
+
+
+def test_merge_set_overrides():
+    """--set KEY=VALUE reaches any dotted config path with YAML-typed values."""
+    cfg = default_config()
+    args = argparse.Namespace(
+        overrides=[
+            "experiment.tensorboard=true",
+            "training.ema_decay=0.999",
+            "model.backbone.features=[16, 32, 64]",
+            "experiment.name=from_set",
+        ],
+    )
+    cfg = merge_config_with_args(cfg, args)
+    assert cfg.get("experiment.tensorboard") is True
+    assert cfg.get("training.ema_decay") == pytest.approx(0.999)
+    assert cfg.get("model.backbone.features") == [16, 32, 64]
+    assert cfg.experiment.name == "from_set"
+
+
+def test_merge_set_rejects_malformed():
+    cfg = default_config()
+    args = argparse.Namespace(overrides=["no_equals_sign"])
+    with pytest.raises(ValueError, match="--set"):
+        merge_config_with_args(cfg, args)

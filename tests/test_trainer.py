@@ -188,9 +188,12 @@ class TestEndToEnd:
     def test_metrics_stream_pruned_and_strict_json(self, tiny_cfg):
         """Re-running an experiment dir prunes stale metrics.jsonl lines
         (no duplicate epochs for dashboards), and records never contain
-        bare NaN tokens strict JSON parsers reject."""
+        bare NaN tokens strict JSON parsers reject. Also exercises the
+        experiment.tensorboard event stream over the same run."""
         import json
 
+        tiny_cfg = tiny_cfg.copy()
+        tiny_cfg.set("experiment.tensorboard", True)
         out = Path(tiny_cfg.get("experiment.output_dir")) / str(
             tiny_cfg.get("experiment.name")
         )
@@ -217,6 +220,18 @@ class TestEndToEnd:
         # fresh run from epoch 0: stale epochs 1 and 9 were pruned, the new
         # trajectory is exactly 1..3 with no duplicates
         assert [r["epoch"] for r in recs] == [1, 2, 3]
+
+        # tensorboard scalar stream mirrors the jsonl trajectory
+        from multimodal_organ_segmentation_tpu.utils.tensorboard import (
+            read_scalar_events,
+        )
+
+        (tb_file,) = list((out / "tb").iterdir())
+        events = read_scalar_events(tb_file)
+        assert [s for s, _ in events["loss/train"]] == [1, 2, 3]
+        assert events["loss/train"][-1][1] == pytest.approx(
+            recs[-1]["train_loss"], rel=1e-5
+        )
 
     def test_train_with_deep_supervision(self, tiny_cfg):
         """model.head.type=deep_supervision trains end-to-end: multi-scale
