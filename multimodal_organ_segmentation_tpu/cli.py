@@ -84,8 +84,10 @@ def parse_args(argv=None) -> argparse.Namespace:
         metavar="KEY=VALUE",
         help="override any config key by dotted path (repeatable); the "
         "value is YAML-parsed, e.g. --set training.ema_decay=0.999 "
-        "--set experiment.tensorboard=true "
-        "--set 'model.backbone.features=[16,32,64]'",
+        "--set experiment.tensorboard=true. Keys must exist in the "
+        "loaded config or the shipped default.yaml schema (typo "
+        "protection); prefix with + to create a new key, e.g. "
+        "--set '+model.backbone.features=[16,32,64]'",
     )
     parser.add_argument("--verbose", "-v", action="store_true")
     parser.add_argument("--debug", action="store_true")
@@ -381,7 +383,13 @@ def run_explain(config, logger) -> None:
 def main(argv=None) -> None:
     args = parse_args(argv)
     config = load_config(args.config)
-    config = merge_config_with_args(config, args)
+    # the shipped default.yaml is the documented schema: its keys are valid
+    # --set targets even when the loaded config omits them (user configs
+    # don't layer over defaults)
+    schema = None
+    if Path(_DEFAULT_CONFIG).exists() and str(args.config) != _DEFAULT_CONFIG:
+        schema = load_config(_DEFAULT_CONFIG)
+    config = merge_config_with_args(config, args, schema=schema)
 
     # multi-host (DCN) bootstrap must precede every other JAX call; the
     # reference's `distributed` stub was dead config (default.yaml:164-167)

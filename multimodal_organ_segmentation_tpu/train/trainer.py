@@ -612,106 +612,133 @@ class Trainer:
                 # dependency-free (utils/tensorboard.py)
                 from multimodal_organ_segmentation_tpu.utils.tensorboard import (
                     SummaryWriter,
+                    read_scalar_events,
                 )
 
-                tb_writer = SummaryWriter(self.output_dir / "tb")
-
-        profile_dir = self.config.get("hardware.profile_dir")
-        for epoch in range(self.current_epoch, self.epochs):
-            self.current_epoch = epoch
-            lr = self.scheduler.lr_for_epoch(epoch, metric=prev_metric)
-
-            # jax.profiler trace of one epoch when requested (SURVEY.md §5:
-            # the reference has no tracing at all)
-            if profile_dir and epoch == int(self.config.get("hardware.profile_epoch", 1)):
-                jax.profiler.start_trace(str(profile_dir))
-
-            t0 = time.perf_counter()
-            train_loss = self._train_epoch(lr)
-            self.history["train_loss"].append(train_loss)
-
-            if profile_dir and epoch == int(self.config.get("hardware.profile_epoch", 1)):
-                jax.profiler.stop_trace()
-
-            val_loss, val_metrics = self._validate()
-            self.history["val_loss"].append(val_loss)
-            val_dice = val_metrics.get("dice", 0.0)
-            self.history["val_dice"].append(val_dice)
-            prev_metric = val_dice
-
-            dt = time.perf_counter() - t0
-            if self.logger:
-                self.logger.info(
-                    f"Epoch [{epoch + 1}/{self.epochs}] "
-                    f"Train Loss: {train_loss:.4f} Val Loss: {val_loss:.4f} "
-                    f"Val Dice: {val_dice:.4f} LR: {lr:.2e} ({dt:.1f}s)"
+                tb_dir = self.output_dir / "tb"
+                old_events = (
+                    sorted(tb_dir.glob("events.out.tfevents.*"))
+                    if tb_dir.exists()
+                    else []
                 )
-            # machine-readable epoch stream (one JSON object per line) for
-            # dashboards/experiment tracking; append-only so a resumed run
-            # keeps the full trajectory in one file (stale lines for epochs
-            # about to be re-run are pruned at train() start). The reference
-            # keeps history only inside checkpoint pickles (trainer.py:182-187).
-            if jax.process_count() == 1 or jax.process_index() == 0:
-                import json as _json
+                tb_writer = SummaryWriter(tb_dir)
+                # consolidate prior runs into the new file with the same
+                # semantics as _prune_metrics_stream: completed epochs
+                # (step <= current_epoch) are kept, stale epochs about to be
+                # re-run are dropped. Original wall_time is not preserved
+                # (scalar dashboards plot against step).
+                kept: Dict = {}
+                for old in old_events:
+                    try:
+                        for tag, pts in read_scalar_events(old).items():
+                            for step, v in pts:
+                                if step <= self.current_epoch:
+                                    kept[(tag, step)] = v
+                    except ValueError:
+                        pass  # corrupt/truncated prior file: drop it
+                    old.unlink()
+                for (tag, step), v in sorted(kept.items(), key=lambda kv: kv[0][1]):
+                    tb_writer.add_scalar(tag, v, step)
 
-                def _num(x):
-                    # strict-JSON consumers (jq, JSON.parse, pandas) reject
-                    # bare NaN/Infinity tokens — emit null instead
-                    x = float(x)
-                    return round(x, 6) if np.isfinite(x) else None
+        try:
+            profile_dir = self.config.get("hardware.profile_dir")
+            for epoch in range(self.current_epoch, self.epochs):
+                self.current_epoch = epoch
+                lr = self.scheduler.lr_for_epoch(epoch, metric=prev_metric)
 
-                with open(self.output_dir / "metrics.jsonl", "a") as f:
-                    f.write(_json.dumps({
-                        "epoch": epoch + 1,
-                        "train_loss": _num(train_loss),
-                        "val_loss": _num(val_loss),
-                        "val_dice": _num(val_dice),
-                        "lr": lr,
-                        "seconds": round(dt, 2),
-                    }) + "\n")
-                if tb_writer is not None:
-                    tb_writer.add_scalars(
-                        {
-                            "loss/train": train_loss,
-                            "loss/val": val_loss,
-                            "metrics/val_dice": val_dice,
-                            "lr": lr,
-                            "time/epoch_seconds": dt,
-                        },
-                        step=epoch + 1,
-                    )
-                    tb_writer.flush()
+                # jax.profiler trace of one epoch when requested (SURVEY.md §5:
+                # the reference has no tracing at all)
+                if profile_dir and epoch == int(self.config.get("hardware.profile_epoch", 1)):
+                    jax.profiler.start_trace(str(profile_dir))
 
-            # best-metric tracking is independent of checkpoint policy
-            # (with save_best off, early stopping must still see the best)
-            is_best = val_dice >= self.best_metric
-            improved = val_dice > self.best_metric
-            self.best_metric = max(self.best_metric, val_dice)
-            self.ckpt.save(
-                self.state, epoch, val_dice, self.best_metric,
-                history=self.history, is_best=is_best,
-            )
+                t0 = time.perf_counter()
+                train_loss = self._train_epoch(lr)
+                self.history["train_loss"].append(train_loss)
 
-            # early stopping on val dice (reference: trainer.py:209-218)
-            if improved:
-                no_improve = 0
-            else:
-                no_improve += 1
-            if es_enabled and no_improve >= patience:
+                if profile_dir and epoch == int(self.config.get("hardware.profile_epoch", 1)):
+                    jax.profiler.stop_trace()
+
+                val_loss, val_metrics = self._validate()
+                self.history["val_loss"].append(val_loss)
+                val_dice = val_metrics.get("dice", 0.0)
+                self.history["val_dice"].append(val_dice)
+                prev_metric = val_dice
+
+                dt = time.perf_counter() - t0
                 if self.logger:
-                    self.logger.info(f"Early stopping at epoch {epoch + 1}")
-                break
+                    self.logger.info(
+                        f"Epoch [{epoch + 1}/{self.epochs}] "
+                        f"Train Loss: {train_loss:.4f} Val Loss: {val_loss:.4f} "
+                        f"Val Dice: {val_dice:.4f} LR: {lr:.2e} ({dt:.1f}s)"
+                    )
+                # machine-readable epoch stream (one JSON object per line) for
+                # dashboards/experiment tracking; append-only so a resumed run
+                # keeps the full trajectory in one file (stale lines for epochs
+                # about to be re-run are pruned at train() start). The reference
+                # keeps history only inside checkpoint pickles (trainer.py:182-187).
+                if jax.process_count() == 1 or jax.process_index() == 0:
+                    import json as _json
 
-        if tb_writer is not None:
-            tb_writer.close()
-        if self._ckpt_writer is not None:
-            # don't return before every queued write is on disk (writer
-            # errors surface here); an atexit hook covers crash paths.
-            # close() also stops the worker thread — no leak when many
-            # Trainers run in one process
-            self._ckpt_writer.close()
-            self._ckpt_writer = None
-            self.ckpt.writer = None
+                    def _num(x):
+                        # strict-JSON consumers (jq, JSON.parse, pandas) reject
+                        # bare NaN/Infinity tokens — emit null instead
+                        x = float(x)
+                        return round(x, 6) if np.isfinite(x) else None
+
+                    with open(self.output_dir / "metrics.jsonl", "a") as f:
+                        f.write(_json.dumps({
+                            "epoch": epoch + 1,
+                            "train_loss": _num(train_loss),
+                            "val_loss": _num(val_loss),
+                            "val_dice": _num(val_dice),
+                            "lr": lr,
+                            "seconds": round(dt, 2),
+                        }) + "\n")
+                    if tb_writer is not None:
+                        tb_writer.add_scalars(
+                            {
+                                "loss/train": train_loss,
+                                "loss/val": val_loss,
+                                "metrics/val_dice": val_dice,
+                                "lr": lr,
+                                "time/epoch_seconds": dt,
+                            },
+                            step=epoch + 1,
+                        )
+                        tb_writer.flush()
+
+                # best-metric tracking is independent of checkpoint policy
+                # (with save_best off, early stopping must still see the best)
+                is_best = val_dice >= self.best_metric
+                improved = val_dice > self.best_metric
+                self.best_metric = max(self.best_metric, val_dice)
+                self.ckpt.save(
+                    self.state, epoch, val_dice, self.best_metric,
+                    history=self.history, is_best=is_best,
+                )
+
+                # early stopping on val dice (reference: trainer.py:209-218)
+                if improved:
+                    no_improve = 0
+                else:
+                    no_improve += 1
+                if es_enabled and no_improve >= patience:
+                    if self.logger:
+                        self.logger.info(f"Early stopping at epoch {epoch + 1}")
+                    break
+        finally:
+            # close writers on every exit path (relay outage, OOM,
+            # KeyboardInterrupt) — not just normal completion
+            if tb_writer is not None:
+                tb_writer.close()
+            if self._ckpt_writer is not None:
+                # don't return before every queued write is on disk
+                # (writer errors surface here); close() also stops the
+                # worker thread — no leak when many Trainers run in one
+                # process
+                self._ckpt_writer.close()
+                self._ckpt_writer = None
+                self.ckpt.writer = None
         return self.history
 
     def _train_epoch(self, lr: float) -> float:

@@ -10,6 +10,7 @@ lossless.
 from __future__ import annotations
 
 import copy
+import datetime
 from pathlib import Path
 from typing import Any, Dict, Iterator, Mapping, Optional
 
@@ -133,12 +134,20 @@ def save_config(config, path) -> None:
         yaml.safe_dump(data, f, default_flow_style=False, sort_keys=False)
 
 
-def merge_config_with_args(config: ConfigNode, args) -> ConfigNode:
+def merge_config_with_args(
+    config: ConfigNode, args, schema: Optional[ConfigNode] = None
+) -> ConfigNode:
     """Merge CLI args into the config tree.
 
     Mirrors the override vocabulary of the reference (main.py:245-307):
     experiment/hardware/training/model/modalities/analysis/explainability
     overrides plus a ``_args`` stash of runtime-only flags.
+
+    ``schema`` is an optional second config (the shipped default.yaml) whose
+    keys are also accepted by the strict ``--set`` check: user configs don't
+    layer over defaults here, so a documented feature key (e.g.
+    ``experiment.tensorboard``) may legitimately be absent from the loaded
+    file while still being a real knob the code reads via ``.get()``.
     """
     mapping = {
         "exp_name": "experiment.name",
@@ -162,16 +171,59 @@ def merge_config_with_args(config: ConfigNode, args) -> ConfigNode:
     # generic dotted-path overrides (--set key=value, repeatable) — the
     # escape hatch the reference lacks: any config key is reachable from
     # the CLI without editing YAML. Values are YAML-parsed so booleans,
-    # numbers and lists come through typed.
+    # numbers and lists come through typed. The key must already exist in
+    # the loaded config (typos would otherwise silently create dead keys
+    # and the run would proceed with defaults); prefix with ``+`` to
+    # deliberately create a new key.
     for kv in getattr(args, "overrides", None) or []:
         key, sep, raw = kv.partition("=")
-        if not sep or not key.strip():
+        key = key.strip()
+        if not sep or not key:
             raise ValueError(
                 f"--set expects KEY=VALUE with a dotted config path, got {kv!r}"
             )
-        import yaml
-
-        config.set(key.strip(), yaml.safe_load(raw) if raw.strip() else None)
+        create = key.startswith("+")
+        if create:
+            key = key[1:]
+            if not key:
+                raise ValueError(
+                    f"--set expects KEY=VALUE with a dotted config path, got {kv!r}"
+                )
+        _missing = object()
+        existing = config.get(key, _missing)
+        known = existing is not _missing or (
+            schema is not None and schema.get(key, _missing) is not _missing
+        )
+        if not known and not create:
+            raise ValueError(
+                f"--set: unknown config key {key!r} (not in the loaded config"
+                f" or the default schema); check for typos, or use"
+                f" --set +{key}=... to create it"
+            )
+        try:
+            value = yaml.safe_load(raw) if raw.strip() else None
+        except yaml.YAMLError as e:
+            raise ValueError(f"--set {kv!r}: value is not valid YAML: {e}") from e
+        # YAML 1.1 coerces no/on/off to bool and 2024-01-01 to date objects;
+        # dates are never wanted as objects, and when the existing value is a
+        # string the user means a string (e.g. --set experiment.name=no).
+        if existing is _missing and schema is not None:
+            existing = schema.get(key, _missing)
+        if isinstance(value, (datetime.date, datetime.datetime)):
+            value = raw.strip()
+        elif (
+            isinstance(existing, str)
+            and value is not None
+            and not isinstance(value, str)
+        ):
+            value = raw.strip()
+        try:
+            config.set(key, value)
+        except (TypeError, AttributeError) as e:
+            parent = key.rsplit(".", 1)[0] if "." in key else key
+            raise ValueError(
+                f"--set {kv!r}: {parent!r} is not a config section"
+            ) from e
 
     for flag, path in [
         ("suv_analysis", "analysis.suv.enabled"),

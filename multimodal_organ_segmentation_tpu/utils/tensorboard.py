@@ -23,6 +23,7 @@ Format notes (tensorflow/core/util/event.proto + TFRecord framing):
 
 from __future__ import annotations
 
+import itertools
 import os
 import socket
 import struct
@@ -32,7 +33,7 @@ from typing import Dict, Optional
 
 # ---------------------------------------------------------------------------
 # crc32c (Castagnoli), table-driven. Verified against the standard test
-# vector crc32c(b"123456789") == 0xE3069283 in tests/test_native_viz.py.
+# vector crc32c(b"123456789") == 0xE3069283 in tests/test_tensorboard.py.
 # ---------------------------------------------------------------------------
 
 _CRC_TABLE = []
@@ -112,11 +113,17 @@ class SummaryWriter:
     anyway, and a NaN float32 round-trips confusingly).
     """
 
+    _serial = itertools.count()  # per-process uniquifier: two writers created
+    # in the same second must not append into one file (duplicate steps)
+
     def __init__(self, logdir):
         self.logdir = Path(logdir)
         self.logdir.mkdir(parents=True, exist_ok=True)
         host = socket.gethostname() or "host"
-        name = f"events.out.tfevents.{int(time.time())}.{host}.{os.getpid()}"
+        name = (
+            f"events.out.tfevents.{int(time.time())}.{host}.{os.getpid()}"
+            f".{next(self._serial)}"
+        )
         self.path = self.logdir / name
         self._f = open(self.path, "ab")
         self._write(_version_event(time.time()))
@@ -175,6 +182,8 @@ def read_scalar_events(path) -> Dict[str, list]:
         (hcrc,) = struct.unpack("<I", data[pos + 8 : pos + 12])
         if hcrc != _masked_crc(header):
             raise ValueError("TFRecord header CRC mismatch")
+        if pos + 16 + length > len(data):
+            raise ValueError("truncated TFRecord payload")
         payload = data[pos + 12 : pos + 12 + length]
         (pcrc,) = struct.unpack("<I", data[pos + 12 + length : pos + 16 + length])
         if pcrc != _masked_crc(payload):

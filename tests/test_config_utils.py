@@ -124,7 +124,7 @@ def test_merge_set_overrides():
         overrides=[
             "experiment.tensorboard=true",
             "training.ema_decay=0.999",
-            "model.backbone.features=[16, 32, 64]",
+            "+model.backbone.features=[16, 32, 64]",  # optional key, not in default.yaml
             "experiment.name=from_set",
         ],
     )
@@ -140,3 +140,70 @@ def test_merge_set_rejects_malformed():
     args = argparse.Namespace(overrides=["no_equals_sign"])
     with pytest.raises(ValueError, match="--set"):
         merge_config_with_args(cfg, args)
+
+
+def test_merge_set_rejects_unknown_key():
+    """A typo'd key must error, not silently create a dead subtree that
+    leaves the run on default hyperparameters."""
+    cfg = default_config()
+    args = argparse.Namespace(overrides=["trainnig.epochs=5"])
+    with pytest.raises(ValueError, match="unknown config key"):
+        merge_config_with_args(cfg, args)
+    # the + prefix deliberately creates new keys
+    cfg = default_config()
+    args = argparse.Namespace(overrides=["+custom.section.flag=7"])
+    cfg = merge_config_with_args(cfg, args)
+    assert cfg.get("custom.section.flag") == 7
+
+
+def test_merge_set_schema_fallback():
+    """Documented keys absent from a user config (configs don't layer over
+    default.yaml) are accepted when default.yaml is passed as the schema —
+    a user setting a real feature flag must not need the + escape."""
+    from multimodal_organ_segmentation_tpu.utils.config import ConfigNode
+
+    user_cfg = ConfigNode({"experiment": {"name": "mini"}})
+    schema = default_config()  # has experiment.tensorboard
+    args = argparse.Namespace(overrides=["experiment.tensorboard=true"])
+    merged = merge_config_with_args(user_cfg, args, schema=schema)
+    assert merged.get("experiment.tensorboard") is True
+    # a typo still fails even with the schema present
+    user_cfg = ConfigNode({"experiment": {"name": "mini"}})
+    args = argparse.Namespace(overrides=["experiment.tensorbored=true"])
+    with pytest.raises(ValueError, match="unknown config key"):
+        merge_config_with_args(user_cfg, args, schema=schema)
+    # string-typed schema keys keep string coercion for YAML-1.1 traps
+    user_cfg = ConfigNode({})
+    args = argparse.Namespace(overrides=["experiment.name=no"])
+    merged = merge_config_with_args(user_cfg, args, schema=schema)
+    assert merged.get("experiment.name") == "no"
+
+
+def test_merge_set_friendly_errors():
+    # path through a scalar node
+    cfg = default_config()
+    args = argparse.Namespace(overrides=["+training.epochs.x=1"])
+    with pytest.raises(ValueError, match="not a config section"):
+        merge_config_with_args(cfg, args)
+    # malformed YAML value
+    cfg = default_config()
+    args = argparse.Namespace(overrides=["+model.backbone.features=[16,32"])
+    with pytest.raises(ValueError, match="not valid YAML"):
+        merge_config_with_args(cfg, args)
+
+
+def test_merge_set_string_keys_stay_strings():
+    """YAML 1.1 coerces no/on/off and dates; string-typed config keys must
+    receive the literal string (e.g. an experiment named 'no' or a date)."""
+    cfg = default_config()
+    args = argparse.Namespace(
+        overrides=["experiment.name=no", "experiment.output_dir=2024-01-01"]
+    )
+    cfg = merge_config_with_args(cfg, args)
+    assert cfg.experiment.name == "no"
+    assert cfg.experiment.output_dir == "2024-01-01"
+    # bool-typed keys still get real booleans
+    cfg = default_config()
+    args = argparse.Namespace(overrides=["experiment.tensorboard=on"])
+    cfg = merge_config_with_args(cfg, args)
+    assert cfg.get("experiment.tensorboard") is True

@@ -57,11 +57,39 @@ class TestRoundTrip:
         with pytest.raises(ValueError, match="CRC"):
             read_scalar_events(w.path)
 
+    def test_truncation_raises_valueerror(self, tmp_path):
+        # a writer killed mid-record must surface as the documented
+        # ValueError, not struct.error (which is not a ValueError subclass)
+        with SummaryWriter(tmp_path) as w:
+            w.add_scalar("x", 1.0, 1)
+            w.add_scalar("x", 2.0, 2)
+        raw = w.path.read_bytes()
+        for cut in (len(raw) - 3, len(raw) - 9, len(raw) - 15):
+            w.path.write_bytes(raw[:cut])
+            with pytest.raises(ValueError, match="truncated|CRC"):
+                read_scalar_events(w.path)
+
+    def test_two_writers_same_second_get_distinct_files(self, tmp_path):
+        # back-to-back Trainers in one process (sweeps, tests) must not
+        # append into one file and duplicate steps
+        w1 = SummaryWriter(tmp_path)
+        w2 = SummaryWriter(tmp_path)
+        w1.add_scalar("x", 1.0, 1)
+        w2.add_scalar("x", 9.0, 1)
+        w1.close()
+        w2.close()
+        assert w1.path != w2.path
+        assert read_scalar_events(w1.path)["x"] == [(1, 1.0)]
+        assert read_scalar_events(w2.path)["x"] == [(1, 9.0)]
+
 
 class TestOfficialParity:
     """Cross-check against the real tensorboard package, both directions."""
 
     def test_official_reader_parses_our_file(self, tmp_path):
+        # the writer exists precisely so tensorboard is NOT required on the
+        # host — skip, don't fail, where the package is absent
+        pytest.importorskip("tensorboard")
         from tensorboard.backend.event_processing.event_accumulator import (
             EventAccumulator,
         )

@@ -203,6 +203,16 @@ class TestEndToEnd:
             '{"epoch": 1, "train_loss": NaN, "val_loss": 0.5}\n'
             '{"epoch": 9, "train_loss": 0.1, "val_loss": 0.1}\n'
         )
+        # ...and a stale tensorboard event file from the same previous run:
+        # the fresh run must consolidate (drop its epochs past the restart
+        # point) rather than leave two overlapping trajectories on disk
+        from multimodal_organ_segmentation_tpu.utils.tensorboard import (
+            SummaryWriter,
+        )
+
+        with SummaryWriter(out / "tb") as stale_w:
+            stale_w.add_scalar("loss/train", 9.9, 1)
+            stale_w.add_scalar("loss/train", 8.8, 9)
         trainer = Trainer(
             tiny_cfg,
             train_loader=get_dataloader(tiny_cfg, split="train"),
@@ -221,7 +231,9 @@ class TestEndToEnd:
         # trajectory is exactly 1..3 with no duplicates
         assert [r["epoch"] for r in recs] == [1, 2, 3]
 
-        # tensorboard scalar stream mirrors the jsonl trajectory
+        # tensorboard scalar stream mirrors the jsonl trajectory; the stale
+        # pre-run event file was consolidated away (single file, no epoch-9
+        # ghost, no 9.9 value from the previous run)
         from multimodal_organ_segmentation_tpu.utils.tensorboard import (
             read_scalar_events,
         )
@@ -229,6 +241,7 @@ class TestEndToEnd:
         (tb_file,) = list((out / "tb").iterdir())
         events = read_scalar_events(tb_file)
         assert [s for s, _ in events["loss/train"]] == [1, 2, 3]
+        assert events["loss/train"][0][1] != pytest.approx(9.9)
         assert events["loss/train"][-1][1] == pytest.approx(
             recs[-1]["train_loss"], rel=1e-5
         )
