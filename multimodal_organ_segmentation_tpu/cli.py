@@ -380,6 +380,27 @@ def run_explain(config, logger) -> None:
     run_explainability(config, ckpt, input_path, output_path, logger)
 
 
+def configure_compilation_cache(config) -> None:
+    """Enable JAX's persistent XLA compilation cache when configured.
+
+    TPU compiles of the sliding-window program run minutes; with
+    ``hardware.compilation_cache_dir`` set, a server restart or a second
+    CLI run on the same volume shapes deserializes the cached executable
+    instead of recompiling. The reference has no analog (torch eager never
+    compiles).
+    """
+    cache_dir = config.get("hardware.compilation_cache_dir")
+    if not cache_dir:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    # default heuristics skip sub-second/small programs; serving warmup
+    # wants the small eval/postprocess programs cached too, so persist all
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
     config = load_config(args.config)
@@ -405,6 +426,8 @@ def main(argv=None) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    configure_compilation_cache(config)
 
     log_dir = Path(config.get("experiment.log_dir", "logs")) / str(
         config.get("experiment.name", "exp")

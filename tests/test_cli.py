@@ -1,5 +1,7 @@
 """CLI surface tests: arg parsing, mode dispatch errors, config overrides."""
 
+import os
+
 import pytest
 
 from multimodal_organ_segmentation_tpu.cli import parse_args
@@ -159,3 +161,60 @@ class TestBenchProbe:
 
     def test_healthy(self, monkeypatch):
         assert self._probe(monkeypatch, "ok") == (None, None)
+
+
+class TestCompilationCache:
+    """hardware.compilation_cache_dir → persistent XLA executable cache.
+
+    Run in a subprocess: jax_compilation_cache_dir is process-global and
+    must not leak into the rest of the suite.
+    """
+
+    def test_cache_populated_and_reused(self, tmp_path):
+        import subprocess
+        import sys
+
+        prog = r"""
+import sys, os
+from multimodal_organ_segmentation_tpu.utils.config import ConfigNode
+from multimodal_organ_segmentation_tpu.cli import configure_compilation_cache
+import jax
+jax.config.update("jax_platforms", "cpu")
+cfg = ConfigNode({"hardware": {"compilation_cache_dir": sys.argv[1]}})
+configure_compilation_cache(cfg)
+import jax.numpy as jnp
+out = jax.jit(lambda x: (x @ x.T).sum())(jnp.ones((32, 32)))
+print("RESULT", float(out))
+"""
+        cache = tmp_path / "xla_cache"
+        env = dict(os.environ)
+        r1 = subprocess.run(
+            [sys.executable, "-c", prog, str(cache)],
+            capture_output=True, env=env, timeout=120,
+        )
+        assert r1.returncode == 0, r1.stderr.decode()
+        assert b"RESULT 32768.0" in r1.stdout
+        entries = list(cache.glob("*cache*"))
+        assert entries, "compilation cache dir is empty"
+        # second process must still compute correctly from the warm cache
+        mtimes = {e: e.stat().st_mtime_ns for e in entries}
+        r2 = subprocess.run(
+            [sys.executable, "-c", prog, str(cache)],
+            capture_output=True, env=env, timeout=120,
+        )
+        assert r2.returncode == 0, r2.stderr.decode()
+        assert b"RESULT 32768.0" in r2.stdout
+        for e, t in mtimes.items():
+            assert e.stat().st_mtime_ns == t, "cache entry was rewritten"
+
+    def test_disabled_by_default(self):
+        from multimodal_organ_segmentation_tpu.cli import (
+            configure_compilation_cache,
+        )
+        from multimodal_organ_segmentation_tpu.utils.config import ConfigNode
+
+        # no key / null key → no-op (must not import-time-touch jax.config)
+        configure_compilation_cache(ConfigNode({}))
+        configure_compilation_cache(
+            ConfigNode({"hardware": {"compilation_cache_dir": None}})
+        )
