@@ -41,6 +41,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--input", default=None)
     parser.add_argument("--output", default=None)
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument(
+        "--format",
+        default="torch",
+        choices=["torch", "stablehlo"],
+        help="export mode artifact: 'torch' = reference-loadable .pth state "
+        "dict; 'stablehlo' = portable jax.export zip (weights baked in, "
+        "symbolic tile-batch dim, serves with no model code)",
+    )
     parser.add_argument("--resume", default=None)
     parser.add_argument(
         "--pretrained", default=None,
@@ -299,8 +307,13 @@ def run_analysis(config, logger) -> None:
 
 
 def run_export(config, logger) -> None:
-    """Export an Orbax checkpoint to a reference-loadable torch ``.pth``
-    (two-way interop; the inverse of ``--pretrained`` import)."""
+    """Export an Orbax checkpoint to a deployment artifact.
+
+    ``--format torch`` (default): reference-loadable ``.pth`` state dict
+    (two-way interop; the inverse of ``--pretrained`` import).
+    ``--format stablehlo``: portable ``jax.export`` zip — weights baked
+    in, symbolic tile-batch dim, serves with no model code.
+    """
     import numpy as np
 
     from multimodal_organ_segmentation_tpu.models.build import build_model
@@ -349,6 +362,29 @@ def run_export(config, logger) -> None:
     if export_params is not ckpt["tree"].params:
         logger.info("checkpoint carries EMA params — exporting the EMA weights")
     Path(out).parent.mkdir(parents=True, exist_ok=True)
+    fmt = config["_args"].get("format", "torch")
+    if fmt == "stablehlo":
+        from multimodal_organ_segmentation_tpu.models.stablehlo_export import (
+            export_stablehlo,
+        )
+
+        variables = {"params": export_params, **ckpt["tree"].extra}
+        export_stablehlo(
+            model,
+            variables,
+            out,
+            roi=roi,
+            in_channels=n_mod,
+            metadata={
+                "model": str(config.get("model.name", "unet3d")),
+                "num_classes": int(config.get("model.out_channels", 0) or 0),
+                "modalities": list(config.get("data.modalities", [])),
+                "epoch": int(ckpt["epoch"]),
+                "best_metric": float(ckpt["best_metric"]),
+            },
+        )
+        logger.info(f"Exported stablehlo artifact: {out}")
+        return
     export_torch_checkpoint(
         export_params,
         config,

@@ -246,5 +246,6 @@ def merge_config_with_args(
         "debug": getattr(args, "debug", False),
         "generate_report": getattr(args, "generate_report", False),
         "port": getattr(args, "port", None),
+        "format": getattr(args, "format", "torch"),
     }
     return config
