@@ -46,6 +46,14 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
+def _is_stablehlo_artifact(path) -> bool:
+    """A StableHLO export is a zip FILE; an Orbax checkpoint is a dir."""
+    import zipfile
+
+    p = Path(path)
+    return p.is_file() and zipfile.is_zipfile(p)
+
+
 class RequestError(ValueError):
     """Client-side fault (bad paths, missing modalities, malformed volume).
 
@@ -71,43 +79,85 @@ class InferenceService:
         from multimodal_organ_segmentation_tpu.ops.sliding_window import (
             SlidingWindowRunner,
         )
-        from multimodal_organ_segmentation_tpu.train.trainer import Trainer
 
         self.config = config
         self.logger = logger
-        # the checkpoint is self-sufficient; a stale model.pretrained path
-        # from the training config may not exist on the serving machine
-        # (same rule as run_eval / run_export)
-        config.set("model.pretrained", None)
-        trainer = Trainer(config, logger=logger)
-        roi = tuple(config.get("inference.sliding_window.roi_size", [96, 96, 96]))
-        self.modalities = list(config.get("data.modalities", ["CT", "PET"]))
-        trainer.init_state(np.zeros((*roi, len(self.modalities)), np.float32))
-        trainer.load_params(checkpoint_path)
-        # _inference_members: EMA-weight selection + inference.ensemble —
-        # the SAME member list as batch predict, so the two serving
-        # surfaces cannot diverge on the same config
-        self._members = trainer._inference_members()
-        self._variables = self._members[0]
-
         sw_cfg = config.get("inference.sliding_window", {}) or {}
-        dp_mesh = None
-        if (
-            bool(config.get("inference.data_parallel", True))
-            and trainer.mesh is not None
-            and trainer.mesh.shape["data"] > 1
-        ):
-            dp_mesh = trainer.mesh
+
+        if _is_stablehlo_artifact(checkpoint_path):
+            # deployment-host mode: the artifact IS the model — no flax
+            # module, no Orbax checkpoint, no model code or config parity
+            # needed on this machine (models/stablehlo_export.py)
+            from multimodal_organ_segmentation_tpu.models.stablehlo_export import (
+                load_stablehlo,
+            )
+
+            call, meta = load_stablehlo(checkpoint_path)
+            shape = meta["input"]["shape"]  # ["b", H, W, D, C]
+            roi = tuple(int(s) for s in shape[1:4])
+            num_classes = int(meta.get("num_classes", 0) or 0)
+            if num_classes <= 0:
+                raise ValueError(
+                    f"{checkpoint_path}: artifact metadata lacks num_classes"
+                )
+            self.modalities = list(
+                meta.get("modalities")
+                or config.get("data.modalities", ["CT", "PET"])
+            )
+            if len(self.modalities) != int(shape[4]):
+                raise ValueError(
+                    f"{checkpoint_path}: artifact takes {shape[4]} input "
+                    f"channels but modalities are {self.modalities}"
+                )
+            predict_fn = lambda prm, patches: call(patches)  # noqa: E731
+            self._members = [{}]
+            self._variables = self._members[0]
+            dp_mesh = None  # artifact serving is single-chip (the exported
+            # module is an opaque call; shard_map partitioning of it is
+            # not validated — use checkpoint serving for mesh parallelism)
+            model_name = f"{meta.get('model', 'unknown')} (stablehlo)"
+        else:
+            from multimodal_organ_segmentation_tpu.train.trainer import Trainer
+
+            # the checkpoint is self-sufficient; a stale model.pretrained
+            # path from the training config may not exist on the serving
+            # machine (same rule as run_eval / run_export)
+            config.set("model.pretrained", None)
+            trainer = Trainer(config, logger=logger)
+            roi = tuple(
+                config.get("inference.sliding_window.roi_size", [96, 96, 96])
+            )
+            self.modalities = list(config.get("data.modalities", ["CT", "PET"]))
+            trainer.init_state(
+                np.zeros((*roi, len(self.modalities)), np.float32)
+            )
+            trainer.load_params(checkpoint_path)
+            # _inference_members: EMA-weight selection + inference.ensemble —
+            # the SAME member list as batch predict, so the two serving
+            # surfaces cannot diverge on the same config
+            self._members = trainer._inference_members()
+            self._variables = self._members[0]
+            num_classes = trainer.num_classes
+            predict_fn = trainer._predict_fn
+            dp_mesh = None
+            if (
+                bool(config.get("inference.data_parallel", True))
+                and trainer.mesh is not None
+                and trainer.mesh.shape["data"] > 1
+            ):
+                dp_mesh = trainer.mesh
+            model_name = str(config.get("model.name", "unknown"))
+
         self.runner = SlidingWindowRunner(
-            trainer._predict_fn,
+            predict_fn,
             roi_size=roi,
-            num_classes=trainer.num_classes,
+            num_classes=num_classes,
             overlap=float(sw_cfg.get("overlap", 0.5)),
             sw_batch_size=config.get("inference.batch_size", 4),
             mode=str(sw_cfg.get("mode", "gaussian")),
             mesh=dp_mesh,
         )
-        self.model_name = str(config.get("model.name", "unknown"))
+        self.model_name = model_name
         self.normalize = bool(config.get("inference.normalize", False))
         self.tta = bool(config.get("inference.tta", False))
         self._jnp = jnp
@@ -442,7 +492,11 @@ def run_serve(config, logger) -> None:
     """CLI glue for ``--mode serve``."""
     ckpt = config["_args"].get("checkpoint")
     if ckpt is None:
-        raise ValueError("--checkpoint is required for serve mode")
+        raise ValueError(
+            "--checkpoint is required for serve mode (an Orbax checkpoint "
+            "dir, or a StableHLO export zip from --mode export "
+            "--format stablehlo)"
+        )
     host = str(config.get("serving.host", "127.0.0.1"))
     p = config["_args"].get("port")  # 0 is valid: OS-assigned free port
     port = int(p) if p is not None else int(config.get("serving.port", 8080))

@@ -333,3 +333,49 @@ class TestHTTPServer:
         assert stats["requests"] >= 1
         assert stats["client_errors"] >= 1
         assert stats["total_s"]["p50"] > 0
+
+
+class TestArtifactServing:
+    """--checkpoint can be a StableHLO export zip: the deployment host
+    serves from the artifact alone (no model code / Orbax checkpoint) and
+    must produce the identical mask to checkpoint-mode serving."""
+
+    def test_artifact_mask_matches_checkpoint_mask(self, served):
+        config, ckpt, inputs, workdir = served
+        artifact = workdir / "model.stablehlo.zip"
+        cli.main([
+            "--mode", "export", "--config", str(workdir / "cfg.yaml"),
+            "--device", "cpu", "--checkpoint", ckpt,
+            "--output", str(artifact), "--format", "stablehlo",
+        ])
+
+        svc_ckpt = InferenceService(config, ckpt)
+        res_ckpt = svc_ckpt.segment(
+            inputs, output_dir=str(workdir / "p_ckpt"), case_id="c"
+        )
+        svc_art = InferenceService(config, str(artifact))
+        assert "stablehlo" in svc_art.model_name
+        res_art = svc_art.segment(
+            inputs, output_dir=str(workdir / "p_art"), case_id="c"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(load_nifti(res_art["output"])),
+            np.asarray(load_nifti(res_ckpt["output"])),
+        )
+
+    def test_artifact_without_num_classes_rejected(self, served, tmp_path):
+        import zipfile
+
+        config, ckpt, inputs, workdir = served
+        artifact = workdir / "model.stablehlo.zip"
+        assert artifact.exists()  # written by the previous test
+        with zipfile.ZipFile(artifact) as zf:
+            blob = zf.read("model.stablehlo")
+            meta = json.loads(zf.read("metadata.json"))
+        meta.pop("num_classes", None)
+        bad = tmp_path / "no_classes.zip"
+        with zipfile.ZipFile(bad, "w") as zf:
+            zf.writestr("model.stablehlo", blob)
+            zf.writestr("metadata.json", json.dumps(meta))
+        with pytest.raises(ValueError, match="num_classes"):
+            InferenceService(config, str(bad))
