@@ -194,13 +194,15 @@ def run_eval(config, logger) -> None:
         cols += [hd_key, "surface_dice"] + [
             f"surface_dice_c{c}" for c in range(n_cls)
         ]
+        cols += ["assd"] + [f"assd_c{c}" for c in range(n_cls)]
         with open(csv_path, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(cols)
             for r in rows:
                 w.writerow(
                     [r["case"], r["dice"], *r["dice_per_class"], r[hd_key],
-                     r["surface_dice"], *r["surface_dice_per_class"]]
+                     r["surface_dice"], *r["surface_dice_per_class"],
+                     r.get("assd"), *r.get("assd_per_class", [None] * n_cls)]
                 )
         logger.info(f"Saved per-case metrics: {csv_path}")
 

@@ -204,6 +204,34 @@ def _boundary_voxels(mask: np.ndarray) -> np.ndarray:
     return mask & ~core
 
 
+def _surface_distances(pred_m, gt_m, spacing, cache=None, key=None):
+    """Boundary sizes + directed surface-distance samples for one class.
+
+    Returns ``(n_p, n_g, d_p, d_g)`` where ``d_p`` holds the distance from
+    each pred-boundary voxel to the GT surface and ``d_g`` vice versa;
+    the distance arrays are ``None`` when either boundary is empty. With
+    ``cache`` (a per-case dict) the EDT pair is computed once and shared
+    between the surface metrics (NSD + ASSD) scoring the same prediction.
+    """
+    if cache is not None and key in cache:
+        return cache[key]
+    bp = _boundary_voxels(pred_m)
+    bg = _boundary_voxels(gt_m)
+    n_p, n_g = int(bp.sum()), int(bg.sum())
+    if n_p == 0 or n_g == 0:
+        out = (n_p, n_g, None, None)
+    else:
+        out = (
+            n_p,
+            n_g,
+            _distance_transform(bg, spacing)[bp],
+            _distance_transform(bp, spacing)[bg],
+        )
+    if cache is not None:
+        cache[key] = out
+    return out
+
+
 class SurfaceDice:
     """Normalized Surface Dice (NSD) at a tolerance in mm.
 
@@ -232,19 +260,13 @@ class SurfaceDice:
         self._scores: list = [[] for _ in range(self.num_classes)]
 
     @staticmethod
-    def _nsd_binary(pred_m, gt_m, spacing, tol: float) -> float:
-        bp = _boundary_voxels(pred_m)
-        bg = _boundary_voxels(gt_m)
-        n_p, n_g = int(bp.sum()), int(bg.sum())
+    def _nsd_binary(pred_m, gt_m, spacing, tol: float, cache=None, key=None) -> float:
+        n_p, n_g, d_p, d_g = _surface_distances(pred_m, gt_m, spacing, cache, key)
         if n_p == 0 and n_g == 0:
             return 1.0  # both empty: perfect agreement
-        if n_p == 0 or n_g == 0:
+        if d_p is None:
             return 0.0
-        dist_to_gt = _distance_transform(bg, spacing)
-        dist_to_pred = _distance_transform(bp, spacing)
-        agree = int((dist_to_gt[bp] <= tol).sum()) + int(
-            (dist_to_pred[bg] <= tol).sum()
-        )
+        agree = int((d_p <= tol).sum()) + int((d_g <= tol).sum())
         return agree / (n_p + n_g)
 
     def update(
@@ -252,6 +274,7 @@ class SurfaceDice:
         pred,
         target,
         spacing: Optional[Tuple[float, float, float]] = None,
+        distance_cache: Optional[dict] = None,
     ) -> None:
         pred = np.asarray(pred)
         target = np.asarray(target)
@@ -264,7 +287,10 @@ class SurfaceDice:
                 if not gt_m.any() and not pred_m.any():
                     continue  # class absent from this case: no evidence
                 self._scores[c].append(
-                    self._nsd_binary(pred_m, gt_m, spacing, self.tolerance_mm)
+                    self._nsd_binary(
+                        pred_m, gt_m, spacing, self.tolerance_mm,
+                        distance_cache, (b, c),
+                    )
                 )
 
     def compute(self) -> Dict[str, Any]:
@@ -277,6 +303,70 @@ class SurfaceDice:
             "surface_dice": float(np.mean(seen)) if seen else float("nan"),
             "surface_dice_per_class": per_class,
             "surface_dice_tolerance_mm": self.tolerance_mm,
+        }
+
+
+class AverageSurfaceDistance:
+    """Average symmetric surface distance (ASSD) in mm, per class.
+
+    ``(Σ d(S_p → S_g) + Σ d(S_g → S_p)) / (|S_p| + |S_g|)`` — the mean
+    boundary error that HD95 (worst-case tail) and NSD (within-tolerance
+    fraction) bracket; the third member of the standard medical-seg surface
+    suite (MSD / nnU-Net evaluation protocol). Distances ride the same
+    native C++ EDT as the other surface metrics and share their per-case
+    EDT pair through ``distance_cache``. The reference has no surface
+    metric at all (src/trainer/metrics.py stops at Dice/HD/confusion).
+
+    Empty-mask rule: a class absent from BOTH pred and GT contributes no
+    evidence; a one-sided miss has no finite surface distance and is
+    likewise skipped (matching ``HausdorffDistance``'s empty-case rule) —
+    Dice and NSD already penalize total misses, so ASSD stays a pure
+    boundary-quality readout over cases where both surfaces exist.
+    """
+
+    def __init__(self, num_classes: int, include_background: bool = False):
+        self.num_classes = num_classes
+        self.include_background = include_background
+        self.reset()
+
+    def reset(self) -> None:
+        self._scores: list = [[] for _ in range(self.num_classes)]
+
+    def update(
+        self,
+        pred,
+        target,
+        spacing: Optional[Tuple[float, float, float]] = None,
+        distance_cache: Optional[dict] = None,
+    ) -> None:
+        pred = np.asarray(pred)
+        target = np.asarray(target)
+        spacing = spacing or (1.0, 1.0, 1.0)
+        start = 0 if self.include_background else 1
+        for b in range(pred.shape[0]):
+            for c in range(start, self.num_classes):
+                pred_m = pred[b] == c
+                gt_m = target[b] == c
+                if not gt_m.any() and not pred_m.any():
+                    continue
+                n_p, n_g, d_p, d_g = _surface_distances(
+                    pred_m, gt_m, spacing, distance_cache, (b, c)
+                )
+                if d_p is None:
+                    continue  # one side empty: no finite surface distance
+                self._scores[c].append(
+                    (float(d_p.sum()) + float(d_g.sum())) / (n_p + n_g)
+                )
+
+    def compute(self) -> Dict[str, Any]:
+        per_class = [
+            float(np.mean(s)) if s else float("nan") for s in self._scores
+        ]
+        start = 0 if self.include_background else 1
+        seen = [s for s in per_class[start:] if not np.isnan(s)]
+        return {
+            "assd": float(np.mean(seen)) if seen else float("nan"),
+            "assd_per_class": per_class,
         }
 
 

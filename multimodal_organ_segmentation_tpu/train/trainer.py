@@ -905,6 +905,7 @@ class Trainer:
             SlidingWindowRunner,
         )
         from multimodal_organ_segmentation_tpu.train.metrics import (
+            AverageSurfaceDistance,
             DiceMetric,
             HausdorffDistance,
             SurfaceDice,
@@ -966,6 +967,7 @@ class Trainer:
         dice = DiceMetric(self.num_classes)
         hd = HausdorffDistance(percentile=hd_pct)
         nsd = SurfaceDice(self.num_classes, tolerance_mm=nsd_tol)
+        assd = AverageSurfaceDistance(self.num_classes)
         per_case: List[Dict[str, Any]] = []
         n_cases = 0
         smooth = 1e-5
@@ -1014,13 +1016,29 @@ class Trainer:
                     if len(hd.distances) > n_hd else None
                 )
 
+                # one EDT pair per (case, class), shared by NSD + ASSD
+                edt_cache: Dict[Any, Any] = {}
                 n_nsd = [len(s) for s in nsd._scores]
-                nsd.update(pred[None], labels[b][None], spacing=spacing)
+                nsd.update(
+                    pred[None], labels[b][None], spacing=spacing,
+                    distance_cache=edt_cache,
+                )
                 case_nsd = [
                     float(s[-1]) if len(s) > n0 else None
                     for s, n0 in zip(nsd._scores, n_nsd)
                 ]
                 seen = [v for v in case_nsd[1:] if v is not None]
+
+                n_assd = [len(s) for s in assd._scores]
+                assd.update(
+                    pred[None], labels[b][None], spacing=spacing,
+                    distance_cache=edt_cache,
+                )
+                case_assd = [
+                    float(s[-1]) if len(s) > n0 else None
+                    for s, n0 in zip(assd._scores, n_assd)
+                ]
+                assd_seen = [v for v in case_assd[1:] if v is not None]
 
                 case_id = (
                     str(ids[b]) if ids is not None and b < len(ids)
@@ -1039,6 +1057,10 @@ class Trainer:
                             float(np.mean(seen)) if seen else None
                         ),
                         "surface_dice_per_class": case_nsd,
+                        "assd": (
+                            float(np.mean(assd_seen)) if assd_seen else None
+                        ),
+                        "assd_per_class": case_assd,
                     }
                 )
                 n_cases += 1
@@ -1049,6 +1071,7 @@ class Trainer:
         if "hausdorff_distance_std" in hd_m:
             metrics["hd95_std"] = hd_m["hausdorff_distance_std"]
         metrics.update(nsd.compute())
+        metrics.update(assd.compute())
         metrics["num_cases"] = n_cases
         metrics["per_case"] = per_case
         return metrics

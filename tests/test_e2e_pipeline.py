@@ -128,6 +128,9 @@ class TestFullPipeline:
         # NSD rides the same pass (boundary metric; reference has none)
         assert 0.0 <= metrics["surface_dice"] <= 1.0
         assert len(metrics["surface_dice_per_class"]) == 4
+        # ASSD rides the same EDT pass (mean boundary error in mm)
+        assert len(metrics["assd_per_class"]) == 4
+        assert metrics["assd"] >= 0.0 or np.isnan(metrics["assd"])
         assert metrics["num_cases"] == 2
         # per-case table: one row per case in the JSON and as a CSV
         assert len(metrics["per_case"]) == 2

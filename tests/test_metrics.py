@@ -193,6 +193,118 @@ class TestSurfaceDice:
         assert out["surface_dice"] == pytest.approx(0.5)
 
 
+class TestAverageSurfaceDistance:
+    """ASSD semantics (symmetric mean surface distance, mm). The reference
+    has no surface metric, so these are behavioral contracts, not parity."""
+
+    def _cube(self, shape=(16, 16, 16), lo=4, hi=10, shift=0):
+        m = np.zeros((1,) + shape, np.int64)
+        m[0, lo + shift : hi + shift, lo:hi, lo:hi] = 1
+        return m
+
+    def test_identical_masks_score_zero(self):
+        from multimodal_organ_segmentation_tpu.train.metrics import (
+            AverageSurfaceDistance,
+        )
+
+        m = AverageSurfaceDistance(num_classes=2)
+        cube = self._cube()
+        m.update(cube, cube)
+        assert m.compute()["assd"] == pytest.approx(0.0)
+
+    def test_shift_increases_distance_and_spacing_scales_it(self):
+        from multimodal_organ_segmentation_tpu.train.metrics import (
+            AverageSurfaceDistance,
+        )
+
+        unit = AverageSurfaceDistance(num_classes=2)
+        unit.update(self._cube(shift=1), self._cube())
+        a = unit.compute()["assd"]
+        assert 0.0 < a <= 1.0  # a 1-voxel shift moves surfaces ≤ 1 mm
+
+        scaled = AverageSurfaceDistance(num_classes=2)
+        scaled.update(
+            self._cube(shift=1), self._cube(), spacing=(2.0, 2.0, 2.0)
+        )
+        assert scaled.compute()["assd"] == pytest.approx(2.0 * a, rel=1e-9)
+
+    def test_one_sided_miss_is_skipped(self):
+        from multimodal_organ_segmentation_tpu.train.metrics import (
+            AverageSurfaceDistance,
+        )
+
+        m = AverageSurfaceDistance(num_classes=2)
+        m.update(np.zeros((1, 16, 16, 16), np.int64), self._cube())
+        assert np.isnan(m.compute()["assd"])
+
+    def test_brute_force_cross_check(self):
+        """EDT-based ASSD == brute-force pairwise surface distances."""
+        rng = np.random.default_rng(7)
+        pred = np.zeros((10, 10, 10), bool)
+        gt = np.zeros((10, 10, 10), bool)
+        pred[2:7, 3:8, 2:6] = True
+        gt[3:8, 2:7, 3:7] = True
+        for m in (pred, gt):
+            idx = rng.integers(2, 8, size=(6, 3))
+            for i, j, k in idx:
+                m[i, j, k] ^= True
+        spacing = (1.0, 1.5, 2.0)
+
+        from multimodal_organ_segmentation_tpu.train.metrics import (
+            AverageSurfaceDistance,
+            _boundary_voxels,
+        )
+
+        bp = np.argwhere(_boundary_voxels(pred)).astype(np.float64) * spacing
+        bg = np.argwhere(_boundary_voxels(gt)).astype(np.float64) * spacing
+        d_pg = np.sqrt(((bp[:, None] - bg[None]) ** 2).sum(-1)).min(1)
+        d_gp = np.sqrt(((bg[:, None] - bp[None]) ** 2).sum(-1)).min(1)
+        expected = (d_pg.sum() + d_gp.sum()) / (len(bp) + len(bg))
+
+        m = AverageSurfaceDistance(num_classes=2)
+        m.update(
+            pred[None].astype(np.int64), gt[None].astype(np.int64),
+            spacing=spacing,
+        )
+        assert m.compute()["assd"] == pytest.approx(expected, abs=1e-9)
+
+    def test_distance_cache_shared_with_nsd(self):
+        """NSD and ASSD fed the same cache compute the EDT pair once and
+        produce the same scores as uncached runs."""
+        from multimodal_organ_segmentation_tpu.train import metrics as M
+
+        pred, gt = self._cube(shift=1), self._cube()
+
+        calls = []
+        orig = M._distance_transform
+
+        def counting(mask, spacing):
+            calls.append(1)
+            return orig(mask, spacing)
+
+        cache: dict = {}
+        nsd_c = M.SurfaceDice(num_classes=2, tolerance_mm=0.5)
+        assd_c = M.AverageSurfaceDistance(num_classes=2)
+        try:
+            M._distance_transform = counting
+            nsd_c.update(pred, gt, distance_cache=cache)
+            assd_c.update(pred, gt, distance_cache=cache)
+        finally:
+            M._distance_transform = orig
+        assert len(calls) == 2  # one EDT per direction, shared by both
+
+        nsd_u = M.SurfaceDice(num_classes=2, tolerance_mm=0.5)
+        assd_u = M.AverageSurfaceDistance(num_classes=2)
+        nsd_u.update(pred, gt)
+        assd_u.update(pred, gt)
+        assert nsd_c.compute()["surface_dice"] == pytest.approx(
+            nsd_u.compute()["surface_dice"]
+        )
+        assert assd_c.compute()["assd"] == pytest.approx(
+            assd_u.compute()["assd"]
+        )
+
+
 def test_get_metrics_factory():
     cfg = ConfigNode({"model": {"out_channels": 8}})
     metrics = get_metrics(cfg)
