@@ -583,3 +583,20 @@ def predict_labels(
         return labels
     probs = out if already_probs else jax.nn.softmax(out, axis=-1)
     return labels, probs
+
+
+def predictive_entropy(probs: jax.Array) -> jax.Array:
+    """Normalized predictive entropy ``[H, W, D]`` in [0, 1] from per-class
+    probabilities ``[H, W, D, C]``.
+
+    ``H(p) / log C`` — 0 where the model is certain, 1 at a uniform
+    posterior. The standard single-pass uncertainty readout for review
+    triage (which slices need a radiologist's eye); the checkpoint-ensemble
+    path makes it an ensemble predictive entropy, which also captures
+    model disagreement. Shared by the batch CLI and the HTTP service
+    (the reference has no uncertainty output at all). Runs on device —
+    callers fetch the 3D map, not the 4D posterior.
+    """
+    c = probs.shape[-1]
+    h = -(probs * jnp.log(jnp.clip(probs, 1e-12))).sum(axis=-1)
+    return h / jnp.log(float(c))

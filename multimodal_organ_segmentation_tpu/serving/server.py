@@ -29,7 +29,8 @@ Endpoints (JSON in/out):
                           percentiles (p50/p95/max over a sliding window)
 - ``POST /v1/warmup``    {"shape": [H, W, D]} → precompile that bucket
 - ``POST /v1/segment``   {"inputs": {MOD: path, ...}, "output_dir": ...,
-                          "case_id": ..., "probabilities": bool} → run +
+                          "case_id": ..., "probabilities": bool,
+                          "uncertainty": bool} → run +
                           save {case}_pred.nii.gz (+ {case}_prob.nii.gz)
 """
 
@@ -240,12 +241,15 @@ class InferenceService:
         output_dir: Optional[str] = None,
         case_id: Optional[str] = None,
         probabilities: bool = False,
+        uncertainty: bool = False,
     ) -> Dict[str, Any]:
         """Segment one case given ``{modality: nifti_path}``.
 
         ``probabilities`` also writes ``{case}_prob.nii.gz`` (4D float32
         per-class softmax) next to the mask — same artifact as the batch
-        CLI's ``inference.save_probabilities``."""
+        CLI's ``inference.save_probabilities``. ``uncertainty`` writes
+        ``{case}_unc.nii.gz`` (3D float32 normalized predictive entropy),
+        matching ``inference.save_uncertainty``."""
         from multimodal_organ_segmentation_tpu.ops.sliding_window import bucket_shape
         from multimodal_organ_segmentation_tpu.utils.io import (
             load_case_channels,
@@ -260,7 +264,8 @@ class InferenceService:
         try:
             result = self._segment(inputs, output_dir, case_id,
                                    bucket_shape, load_case_channels, save_nifti,
-                                   probabilities=probabilities)
+                                   probabilities=probabilities,
+                                   uncertainty=uncertainty)
         except (RequestError, FileNotFoundError):
             self._count("client_errors")
             raise
@@ -276,20 +281,23 @@ class InferenceService:
 
     def _segment(self, inputs, output_dir, case_id,
                  bucket_shape, load_case_channels, save_nifti,
-                 probabilities: bool = False) -> Dict[str, Any]:
+                 probabilities: bool = False,
+                 uncertainty: bool = False) -> Dict[str, Any]:
         from multimodal_organ_segmentation_tpu.ops.sliding_window import (
             predict_labels,
+            predictive_entropy,
         )
 
         jnp = self._jnp
         missing = [m for m in self.modalities if m not in inputs]
         if missing:
             raise RequestError(f"missing modalities {missing}; need {self.modalities}")
-        if probabilities and output_dir is None:
-            # the probability volume only exists as a saved file; computing
-            # and fetching hundreds of MB just to drop it would be silent
+        if (probabilities or uncertainty) and output_dir is None:
+            # these volumes only exist as saved files; computing and
+            # fetching hundreds of MB just to drop them would be silent
             # waste — refuse up front
-            raise RequestError("probabilities: true requires output_dir")
+            which = "probabilities" if probabilities else "uncertainty"
+            raise RequestError(f"{which}: true requires output_dir")
 
         t0 = time.perf_counter()
         try:
@@ -328,17 +336,22 @@ class InferenceService:
             run_sw = lambda vol: self.runner(vol, self._variables)
 
         probs = None
+        unc = None
         with self._device_lock:
-            if probabilities:
+            if probabilities or uncertainty:
                 pred_dev, probs_dev = predict_labels(
                     run_sw, image, tta=self.tta, return_probs=True,
                     already_probs=is_ensemble,
                 )
+                if uncertainty:
+                    unc_dev = predictive_entropy(probs_dev)
             else:
                 pred_dev = predict_labels(run_sw, image, tta=self.tta)
         pred = np.asarray(pred_dev).astype(np.uint8)
         if probabilities:
             probs = np.asarray(probs_dev, dtype=np.float32)
+        if uncertainty:
+            unc = np.asarray(unc_dev, dtype=np.float32)
         t_dev = time.perf_counter()
         # host-side CPU cleanup stays OUTSIDE device_s so the /v1/stats
         # device-latency percentiles measure the accelerator, not scipy
@@ -375,6 +388,10 @@ class InferenceService:
                 prob_file = out_dir / f"{name}_prob.nii.gz"
                 save_nifti(probs, prob_file, affine=affine)
                 result["probabilities"] = str(prob_file)
+            if unc is not None:
+                unc_file = out_dir / f"{name}_unc.nii.gz"
+                save_nifti(unc, unc_file, affine=affine)
+                result["uncertainty"] = str(unc_file)
         result["total_s"] = round(time.perf_counter() - t0, 3)
         with self._stats_lock:
             self.requests_served += 1
@@ -470,6 +487,7 @@ def make_server(service: InferenceService, host: str = "127.0.0.1", port: int = 
                             output_dir=req.get("output_dir"),
                             case_id=req.get("case_id"),
                             probabilities=bool(req.get("probabilities", False)),
+                            uncertainty=bool(req.get("uncertainty", False)),
                         ),
                     )
                 elif self.path == "/v1/warmup":

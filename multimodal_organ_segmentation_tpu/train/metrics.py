@@ -21,7 +21,7 @@ Reference contracts (src/trainer/metrics.py):
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -367,6 +367,115 @@ class AverageSurfaceDistance:
         return {
             "assd": float(np.mean(seen)) if seen else float("nan"),
             "assd_per_class": per_class,
+        }
+
+
+class LesionDetectionMetric:
+    """Lesion-wise detection counts (per-lesion TP/FP/FN → precision /
+    recall / F1), per class.
+
+    Voxel-wise Dice hides whether small lesions were found at all — a
+    missed 50-voxel lesion next to a well-segmented 50k-voxel one barely
+    moves Dice. This scores each 6-connected component separately
+    (autoPET-style criteria): a GT lesion counts DETECTED when pred
+    voxels of the same class cover more than ``overlap_threshold`` of it
+    (default: any overlap); a pred component touching no GT voxel of the
+    class is a false positive. The reference stops at voxel metrics
+    (src/trainer/metrics.py); its detection heads ship with no detection
+    metric at all.
+
+    ``classes`` restricts scoring to the lesion-like labels (e.g. the
+    tumor class) — organ classes are 1-component by anatomy and belong
+    to the surface metrics instead.
+    """
+
+    def __init__(
+        self,
+        num_classes: int,
+        include_background: bool = False,
+        overlap_threshold: float = 0.0,
+        classes: Optional[Sequence[int]] = None,
+    ):
+        self.num_classes = num_classes
+        self.include_background = include_background
+        self.overlap_threshold = float(overlap_threshold)
+        start = 0 if include_background else 1
+        self.classes = (
+            [int(c) for c in classes]
+            if classes
+            else list(range(start, num_classes))
+        )
+        self.reset()
+
+    def reset(self) -> None:
+        # per-class running counts over the cohort
+        self._tp = [0] * self.num_classes
+        self._fp = [0] * self.num_classes
+        self._fn = [0] * self.num_classes
+
+    def _match_case(self, pred_m: np.ndarray, gt_m: np.ndarray):
+        """Component-match one (case, class) pair → (tp, fp, fn)."""
+        from scipy import ndimage
+
+        gt_lab, n_gt = ndimage.label(gt_m)
+        pred_lab, n_pred = ndimage.label(pred_m)
+        tp = 0
+        if n_gt:
+            # overlap fraction per GT lesion: |pred ∩ lesion| / |lesion|
+            inter = np.bincount(gt_lab[pred_m], minlength=n_gt + 1)[1:]
+            sizes = np.bincount(gt_lab.ravel(), minlength=n_gt + 1)[1:]
+            tp = int((inter / sizes > self.overlap_threshold).sum())
+        fn = n_gt - tp
+        fp = 0
+        if n_pred:
+            hit = np.unique(pred_lab[gt_m])
+            fp = n_pred - int((hit > 0).sum())
+        return tp, fp, fn
+
+    def update(self, pred, target) -> list:
+        """Accumulate one batch; returns per-sample count dicts (for
+        per-case tables)."""
+        pred = np.asarray(pred)
+        target = np.asarray(target)
+        rows = []
+        for b in range(pred.shape[0]):
+            row = {"lesion_tp": 0, "lesion_fp": 0, "lesion_fn": 0}
+            for c in self.classes:
+                tp, fp, fn = self._match_case(pred[b] == c, target[b] == c)
+                self._tp[c] += tp
+                self._fp[c] += fp
+                self._fn[c] += fn
+                row["lesion_tp"] += tp
+                row["lesion_fp"] += fp
+                row["lesion_fn"] += fn
+            rows.append(row)
+        return rows
+
+    def compute(self) -> Dict[str, Any]:
+        def prf(tp, fp, fn):
+            p = tp / (tp + fp) if tp + fp else float("nan")
+            r = tp / (tp + fn) if tp + fn else float("nan")
+            f1 = 2 * tp / (2 * tp + fp + fn) if 2 * tp + fp + fn else float("nan")
+            return p, r, f1
+
+        per_class = [
+            prf(self._tp[c], self._fp[c], self._fn[c])
+            if c in self.classes
+            else (float("nan"),) * 3
+            for c in range(self.num_classes)
+        ]
+        tp = sum(self._tp[c] for c in self.classes)
+        fp = sum(self._fp[c] for c in self.classes)
+        fn = sum(self._fn[c] for c in self.classes)
+        p, r, f1 = prf(tp, fp, fn)
+        return {
+            "lesion_precision": p,
+            "lesion_recall": r,
+            "lesion_f1": f1,
+            "lesion_tp": tp,
+            "lesion_fp": fp,
+            "lesion_fn": fn,
+            "lesion_f1_per_class": [x[2] for x in per_class],
         }
 
 

@@ -968,6 +968,26 @@ class Trainer:
         hd = HausdorffDistance(percentile=hd_pct)
         nsd = SurfaceDice(self.num_classes, tolerance_mm=nsd_tol)
         assd = AverageSurfaceDistance(self.num_classes)
+        # lesion-wise detection (opt-in): evaluation.lesion_metrics is
+        # true (all foreground classes) or a list of lesion-like labels
+        lesion_cfg = self.config.get("evaluation.lesion_metrics", False)
+        lesions = None
+        if lesion_cfg:
+            from multimodal_organ_segmentation_tpu.train.metrics import (
+                LesionDetectionMetric,
+            )
+
+            lesions = LesionDetectionMetric(
+                self.num_classes,
+                overlap_threshold=float(
+                    self.config.get("evaluation.lesion_overlap_threshold", 0.0)
+                ),
+                classes=(
+                    [int(c) for c in lesion_cfg]
+                    if isinstance(lesion_cfg, (list, tuple))
+                    else None
+                ),
+            )
         per_case: List[Dict[str, Any]] = []
         n_cases = 0
         smooth = 1e-5
@@ -1040,6 +1060,12 @@ class Trainer:
                 ]
                 assd_seen = [v for v in case_assd[1:] if v is not None]
 
+                lesion_row = (
+                    lesions.update(pred[None], labels[b][None])[0]
+                    if lesions is not None
+                    else {}
+                )
+
                 case_id = (
                     str(ids[b]) if ids is not None and b < len(ids)
                     else f"case_{n_cases:03d}"
@@ -1061,6 +1087,7 @@ class Trainer:
                             float(np.mean(assd_seen)) if assd_seen else None
                         ),
                         "assd_per_class": case_assd,
+                        **lesion_row,
                     }
                 )
                 n_cases += 1
@@ -1072,6 +1099,8 @@ class Trainer:
             metrics["hd95_std"] = hd_m["hausdorff_distance_std"]
         metrics.update(nsd.compute())
         metrics.update(assd.compute())
+        if lesions is not None:
+            metrics.update(lesions.compute())
         metrics["num_cases"] = n_cases
         metrics["per_case"] = per_case
         return metrics
@@ -1240,6 +1269,7 @@ class Trainer:
                 normalize_from_config,
             )
         save_probs = bool(self.config.get("inference.save_probabilities", False))
+        save_unc = bool(self.config.get("inference.save_uncertainty", False))
 
         written = []
         write_futures = []
@@ -1256,13 +1286,23 @@ class Trainer:
                 # shared with the HTTP service (serving/server.py) so the
                 # two serving surfaces produce identical masks
                 probs_np = None
-                if save_probs:
+                unc_np = None
+                if save_probs or save_unc:
                     labels_dev, probs_dev = predict_labels(
                         run_sw, image, tta=tta, return_probs=True,
                         already_probs=is_ensemble,
                     )
                     pred = np.asarray(labels_dev).astype(np.uint8)
-                    probs_np = np.asarray(probs_dev, dtype=np.float32)
+                    if save_unc:
+                        from multimodal_organ_segmentation_tpu.ops.sliding_window import (  # noqa: E501
+                            predictive_entropy,
+                        )
+
+                        unc_np = np.asarray(
+                            predictive_entropy(probs_dev), dtype=np.float32
+                        )
+                    if save_probs:
+                        probs_np = np.asarray(probs_dev, dtype=np.float32)
                 else:
                     pred = np.asarray(
                         predict_labels(
@@ -1273,13 +1313,20 @@ class Trainer:
                 out_file = Path(output_path) / f"{case}_pred.nii.gz"
 
                 def _write(pred=pred, out_file=out_file, affine=affine,
-                           probs_np=probs_np, case=case):
+                           probs_np=probs_np, unc_np=unc_np, case=case):
                     save_nifti(pred, out_file, affine=affine)
                     if probs_np is not None:
                         # 4D NIfTI [H, W, D, C] float32 per-class softmax
                         save_nifti(
                             probs_np,
                             Path(output_path) / f"{case}_prob.nii.gz",
+                            affine=affine,
+                        )
+                    if unc_np is not None:
+                        # 3D float32 normalized predictive entropy [0, 1]
+                        save_nifti(
+                            unc_np,
+                            Path(output_path) / f"{case}_unc.nii.gz",
                             affine=affine,
                         )
                     if self.logger:

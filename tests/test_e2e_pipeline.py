@@ -141,6 +141,37 @@ class TestFullPipeline:
         assert len(lines) == 3  # header + 2 cases
         assert lines[0].startswith("case,dice,")
 
+    def test_3c_eval_lesion_metrics(self, workdir, monkeypatch):
+        """evaluation.lesion_metrics: true → per-lesion detection counts
+        (TP/FP/FN, F1) in the cohort JSON and per-case CSV columns."""
+        import json
+
+        import yaml
+
+        monkeypatch.chdir(workdir)
+        with open(workdir / "cfg.yaml") as f:
+            raw = yaml.safe_load(f)
+        raw["evaluation"] = {"sliding_window": True, "lesion_metrics": True}
+        with open(workdir / "cfg_lesion.yaml", "w") as f:
+            yaml.safe_dump(raw, f)
+
+        cli.main(["--mode", "eval", "--config", str(workdir / "cfg_lesion.yaml"),
+                  "--device", "cpu",
+                  "--checkpoint", str(workdir / "outputs" / "tiny_cpu" / "best")])
+        metrics = json.loads(
+            (workdir / "outputs" / "tiny_cpu" / "eval_native.json").read_text()
+        )
+        assert {"lesion_tp", "lesion_fp", "lesion_fn"} <= metrics.keys()
+        assert metrics["lesion_tp"] + metrics["lesion_fn"] > 0  # GT has lesions
+        assert len(metrics["lesion_f1_per_class"]) == 4
+        for r in metrics["per_case"]:
+            assert "lesion_tp" in r
+        csv_head = (
+            (workdir / "outputs" / "tiny_cpu" / "eval_native_cases.csv")
+            .read_text().splitlines()[0]
+        )
+        assert csv_head.endswith("lesion_tp,lesion_fp,lesion_fn")
+
     def test_4_inference(self, workdir, monkeypatch):
         monkeypatch.chdir(workdir)
         # inference layout {input}/{mod}/case.nii.gz from test data

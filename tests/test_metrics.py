@@ -305,6 +305,86 @@ class TestAverageSurfaceDistance:
         )
 
 
+class TestLesionDetection:
+    """Per-lesion TP/FP/FN semantics (autoPET-style component matching).
+    The reference has no detection metric — behavioral contracts only."""
+
+    def _make(self, **kw):
+        from multimodal_organ_segmentation_tpu.train.metrics import (
+            LesionDetectionMetric,
+        )
+
+        return LesionDetectionMetric(num_classes=2, **kw)
+
+    def _vol(self, *blobs, shape=(20, 20, 20), cls=1):
+        v = np.zeros((1,) + shape, np.int64)
+        for (z, y, x), r in blobs:
+            v[0, z : z + r, y : y + r, x : x + r] = cls
+        return v
+
+    def test_perfect_detection(self):
+        m = self._make()
+        gt = self._vol(((2, 2, 2), 3), ((10, 10, 10), 4))
+        m.update(gt, gt)
+        out = m.compute()
+        assert out["lesion_tp"] == 2 and out["lesion_fp"] == 0
+        assert out["lesion_f1"] == pytest.approx(1.0)
+
+    def test_missed_lesion_and_false_positive(self):
+        m = self._make()
+        gt = self._vol(((2, 2, 2), 3), ((10, 10, 10), 4))
+        pred = self._vol(((2, 2, 2), 3), ((15, 15, 15), 3))  # hits 1, invents 1
+        rows = m.update(pred, gt)
+        out = m.compute()
+        assert (out["lesion_tp"], out["lesion_fp"], out["lesion_fn"]) == (1, 1, 1)
+        assert out["lesion_precision"] == pytest.approx(0.5)
+        assert out["lesion_recall"] == pytest.approx(0.5)
+        assert rows[0] == {"lesion_tp": 1, "lesion_fp": 1, "lesion_fn": 1}
+
+    def test_overlap_threshold(self):
+        # pred covers 1 of 27 voxels of the GT lesion: detected at the
+        # any-overlap default, missed at a 50% requirement
+        gt = self._vol(((5, 5, 5), 3))
+        pred = self._vol(((5, 5, 5), 1))
+        loose = self._make()
+        loose.update(pred, gt)
+        assert loose.compute()["lesion_tp"] == 1
+        strict = self._make(overlap_threshold=0.5)
+        strict.update(pred, gt)
+        out = strict.compute()
+        # the under-covering pred component touches GT, so it's not an FP
+        assert (out["lesion_tp"], out["lesion_fp"], out["lesion_fn"]) == (0, 0, 1)
+
+    def test_one_pred_component_spanning_two_gt_lesions(self):
+        # a single merged prediction detects both lesions, no FP
+        gt = self._vol(((5, 5, 5), 2), ((5, 5, 9), 2))
+        pred = np.zeros_like(gt)
+        pred[0, 5:7, 5:7, 5:11] = 1  # bridge across both
+        m = self._make()
+        m.update(pred, gt)
+        out = m.compute()
+        assert (out["lesion_tp"], out["lesion_fp"], out["lesion_fn"]) == (2, 0, 0)
+
+    def test_empty_case_is_nan(self):
+        m = self._make()
+        z = np.zeros((1, 8, 8, 8), np.int64)
+        m.update(z, z)
+        assert np.isnan(m.compute()["lesion_f1"])
+
+    def test_classes_restriction(self):
+        from multimodal_organ_segmentation_tpu.train.metrics import (
+            LesionDetectionMetric,
+        )
+
+        gt = self._vol(((2, 2, 2), 3), cls=1) + self._vol(((10, 10, 10), 3), cls=2)
+        pred = self._vol(((2, 2, 2), 3), cls=1)  # class 2 entirely missed
+        m = LesionDetectionMetric(num_classes=3, classes=[1])
+        m.update(pred, gt)
+        out = m.compute()
+        assert out["lesion_f1"] == pytest.approx(1.0)  # class 2 not scored
+        assert np.isnan(out["lesion_f1_per_class"][2])
+
+
 def test_get_metrics_factory():
     cfg = ConfigNode({"model": {"out_channels": 8}})
     metrics = get_metrics(cfg)

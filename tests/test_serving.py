@@ -99,6 +99,27 @@ class TestInferenceService:
         svc = InferenceService(config, ckpt)
         with pytest.raises(RequestError, match="output_dir"):
             svc.segment(inputs, probabilities=True)
+        with pytest.raises(RequestError, match="output_dir"):
+            svc.segment(inputs, uncertainty=True)
+
+    def test_segment_with_uncertainty(self, served):
+        """"uncertainty": true writes the 3D normalized predictive entropy
+        derived from the same posterior as the probability volume (same
+        artifact as the batch CLI's inference.save_uncertainty)."""
+        config, ckpt, inputs, workdir = served
+        svc = InferenceService(config, ckpt)
+        out_dir = workdir / "preds_unc"
+        res = svc.segment(
+            inputs, output_dir=str(out_dir), case_id="caseU",
+            probabilities=True, uncertainty=True,
+        )
+        unc = np.asarray(load_nifti(res["uncertainty"]))
+        probs = np.asarray(load_nifti(res["probabilities"]))
+        assert unc.shape == (32, 32, 32)
+        assert unc.min() >= 0.0 and unc.max() <= 1.0 + 1e-5
+        expected = -(probs * np.log(np.clip(probs, 1e-12, None))).sum(-1)
+        expected /= np.log(probs.shape[-1])
+        np.testing.assert_allclose(unc, expected, atol=1e-4)
 
     def test_ensemble_duplicate_matches_single(self, served, tmp_path):
         """The HTTP service honors inference.ensemble with the same
@@ -248,6 +269,19 @@ class TestHTTPServer:
             self._post(base + "/v1/segment",
                        {"inputs": inputs, "probabilities": True})
         assert ei.value.code == 400
+
+    def test_segment_uncertainty_over_http(self, server):
+        base, inputs, workdir = server
+        res = self._post(base + "/v1/segment", {
+            "inputs": inputs,
+            "output_dir": str(workdir / "http_unc"),
+            "case_id": "httpU",
+            "uncertainty": True,
+        })
+        assert res["uncertainty"].endswith("httpU_unc.nii.gz")
+        unc = np.asarray(load_nifti(res["uncertainty"]))
+        assert unc.shape == (32, 32, 32)
+        assert unc.min() >= 0.0 and unc.max() <= 1.0 + 1e-5
 
     def test_bad_request_is_400_and_server_survives(self, server):
         base, inputs, workdir = server

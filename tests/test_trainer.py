@@ -710,6 +710,27 @@ class TestInferenceExtras:
         np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-4)
         np.testing.assert_array_equal(probs.argmax(axis=-1), pred)
 
+    def test_save_uncertainty(self, tiny_cfg, tmp_path):
+        """inference.save_uncertainty writes a 3D normalized predictive
+        entropy map consistent with the probability volume."""
+        from multimodal_organ_segmentation_tpu.utils.io import load_nifti
+
+        in_dir = self._case_dir(tmp_path)
+        cfg = tiny_cfg.copy()
+        cfg.set("inference.sliding_window.roi_size", [16, 16, 16])
+        cfg.set("inference.save_probabilities", True)
+        cfg.set("inference.save_uncertainty", True)
+        t = Trainer(cfg)
+        t.init_state(np.zeros((16, 16, 16, 2), np.float32))
+        t.predict(in_dir, tmp_path / "out")
+        unc = load_nifti(tmp_path / "out" / "c_unc.nii.gz")
+        probs = load_nifti(tmp_path / "out" / "c_prob.nii.gz")
+        assert unc.shape == (16, 16, 16)
+        assert unc.min() >= 0.0 and unc.max() <= 1.0 + 1e-5
+        expected = -(probs * np.log(np.clip(probs, 1e-12, None))).sum(-1)
+        expected /= np.log(probs.shape[-1])
+        np.testing.assert_allclose(unc, expected, atol=1e-4)
+
     def test_ensemble_duplicate_equals_single(self, tiny_cfg, tmp_path):
         """Softmax-averaging an ensemble of IDENTICAL members must
         reproduce the single-model mask exactly (semantic sanity for
