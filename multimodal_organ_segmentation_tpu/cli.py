@@ -195,12 +195,13 @@ def run_eval(config, logger) -> None:
             f"surface_dice_c{c}" for c in range(n_cls)
         ]
         cols += ["assd"] + [f"assd_c{c}" for c in range(n_cls)]
-        lesion_cols = (
-            ["lesion_tp", "lesion_fp", "lesion_fn"]
-            if "lesion_tp" in rows[0]
-            else []
-        )
-        cols += lesion_cols
+        # opt-in columns (lesion detection, calibration) appear only when
+        # their evaluation.* switches produced them
+        opt_cols = [
+            k for k in ("lesion_tp", "lesion_fp", "lesion_fn", "ece")
+            if k in rows[0]
+        ]
+        cols += opt_cols
         with open(csv_path, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(cols)
@@ -209,7 +210,7 @@ def run_eval(config, logger) -> None:
                     [r["case"], r["dice"], *r["dice_per_class"], r[hd_key],
                      r["surface_dice"], *r["surface_dice_per_class"],
                      r.get("assd"), *r.get("assd_per_class", [None] * n_cls),
-                     *[r.get(k) for k in lesion_cols]]
+                     *[r.get(k) for k in opt_cols]]
                 )
         logger.info(f"Saved per-case metrics: {csv_path}")
 

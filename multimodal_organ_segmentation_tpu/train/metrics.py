@@ -479,6 +479,74 @@ class LesionDetectionMetric:
         }
 
 
+@partial(jax.jit, static_argnames=("n_bins",))
+def _ece_update(probs: jax.Array, labels: jax.Array, n_bins: int = 10):
+    """Per-bin (count, confidence sum, correct count) for one volume.
+
+    ``probs`` is the per-voxel class posterior ``[..., C]``; confidence is
+    its max, a voxel is correct when the argmax matches ``labels``. Runs
+    on device so only 3 length-``n_bins`` vectors are fetched per case.
+    """
+    conf = jnp.max(probs, axis=-1).reshape(-1)
+    correct = (
+        jnp.argmax(probs, axis=-1).reshape(-1) == labels.reshape(-1)
+    ).astype(jnp.float32)
+    # conf ∈ (1/C, 1]; clip 1.0 into the last bin
+    idx = jnp.clip((conf * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    count = jnp.zeros(n_bins, jnp.float32).at[idx].add(1.0)
+    conf_sum = jnp.zeros(n_bins, jnp.float32).at[idx].add(conf)
+    correct_sum = jnp.zeros(n_bins, jnp.float32).at[idx].add(correct)
+    return count, conf_sum, correct_sum
+
+
+class CalibrationError:
+    """Voxel-level Expected Calibration Error (ECE) of the deployed model.
+
+    ``ECE = Σ_b (n_b / N) · |acc_b − conf_b|`` over ``n_bins`` equal-width
+    confidence bins — how far the softmax confidence is from the empirical
+    accuracy it claims (Guo et al. 2017). Pairs with the predictive-entropy
+    uncertainty output: ECE tells you whether those confidences can be
+    trusted. Accumulation is device-side (``_ece_update``); the reference
+    has no calibration readout at all (src/trainer/metrics.py).
+    """
+
+    def __init__(self, n_bins: int = 10):
+        self.n_bins = int(n_bins)
+        self.reset()
+
+    def reset(self) -> None:
+        self.count = np.zeros(self.n_bins, np.float64)
+        self.conf_sum = np.zeros(self.n_bins, np.float64)
+        self.correct_sum = np.zeros(self.n_bins, np.float64)
+
+    @staticmethod
+    def _ece(count, conf_sum, correct_sum) -> float:
+        n = count.sum()
+        if n == 0:
+            return float("nan")
+        nz = count > 0
+        gap = np.abs(
+            correct_sum[nz] / count[nz] - conf_sum[nz] / count[nz]
+        )
+        return float((count[nz] / n * gap).sum())
+
+    def update(self, probs, labels) -> float:
+        """Accumulate one case; returns the case's own ECE."""
+        c, s, k = (np.asarray(a, np.float64) for a in _ece_update(
+            probs, labels, n_bins=self.n_bins
+        ))
+        self.count += c
+        self.conf_sum += s
+        self.correct_sum += k
+        return self._ece(c, s, k)
+
+    def compute(self) -> Dict[str, Any]:
+        return {
+            "ece": self._ece(self.count, self.conf_sum, self.correct_sum),
+            "ece_bins": self.n_bins,
+        }
+
+
 def get_metrics(config) -> Dict[str, Any]:
     """Metric factory (reference: metrics.py:229-244)."""
     num_classes = int(config.get("model.out_channels", 8))

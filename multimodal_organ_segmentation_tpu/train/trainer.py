@@ -988,6 +988,17 @@ class Trainer:
                     else None
                 ),
             )
+        # voxel-level ECE of the model posterior (pre-postprocess: it
+        # scores the softmax confidences, not the cleaned label map)
+        ece = None
+        if self.config.get("evaluation.calibration", False):
+            from multimodal_organ_segmentation_tpu.train.metrics import (
+                CalibrationError,
+            )
+
+            ece = CalibrationError(
+                n_bins=int(self.config.get("evaluation.calibration_bins", 10))
+            )
         per_case: List[Dict[str, Any]] = []
         n_cases = 0
         smooth = 1e-5
@@ -997,6 +1008,17 @@ class Trainer:
             ids = batch.get("patient_id")
             for b in range(images.shape[0]):
                 logits = logits_for(jnp.asarray(images[b]))
+                case_ece = None
+                if ece is not None:
+                    # single member returns logits; the ensemble path
+                    # returns SUMMED member softmaxes — normalize to a
+                    # proper posterior before scoring confidence
+                    probs_dev = (
+                        logits / len(members)
+                        if len(members) > 1
+                        else jax.nn.softmax(logits, axis=-1)
+                    )
+                    case_ece = ece.update(probs_dev, jnp.asarray(labels[b]))
                 pred = np.asarray(jnp.argmax(logits, axis=-1))
                 # score the DEPLOYED pipeline: the same inference.postprocess
                 # filter predict()/serving apply is applied before metrics
@@ -1088,6 +1110,7 @@ class Trainer:
                         ),
                         "assd_per_class": case_assd,
                         **lesion_row,
+                        **({"ece": case_ece} if ece is not None else {}),
                     }
                 )
                 n_cases += 1
@@ -1101,6 +1124,8 @@ class Trainer:
         metrics.update(assd.compute())
         if lesions is not None:
             metrics.update(lesions.compute())
+        if ece is not None:
+            metrics.update(ece.compute())
         metrics["num_cases"] = n_cases
         metrics["per_case"] = per_case
         return metrics

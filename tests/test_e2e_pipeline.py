@@ -142,8 +142,9 @@ class TestFullPipeline:
         assert lines[0].startswith("case,dice,")
 
     def test_3c_eval_lesion_metrics(self, workdir, monkeypatch):
-        """evaluation.lesion_metrics: true → per-lesion detection counts
-        (TP/FP/FN, F1) in the cohort JSON and per-case CSV columns."""
+        """evaluation.lesion_metrics + calibration → per-lesion detection
+        counts (TP/FP/FN, F1) and voxel ECE in the cohort JSON and
+        per-case CSV columns."""
         import json
 
         import yaml
@@ -151,7 +152,11 @@ class TestFullPipeline:
         monkeypatch.chdir(workdir)
         with open(workdir / "cfg.yaml") as f:
             raw = yaml.safe_load(f)
-        raw["evaluation"] = {"sliding_window": True, "lesion_metrics": True}
+        raw["evaluation"] = {
+            "sliding_window": True,
+            "lesion_metrics": True,
+            "calibration": True,
+        }
         with open(workdir / "cfg_lesion.yaml", "w") as f:
             yaml.safe_dump(raw, f)
 
@@ -164,13 +169,15 @@ class TestFullPipeline:
         assert {"lesion_tp", "lesion_fp", "lesion_fn"} <= metrics.keys()
         assert metrics["lesion_tp"] + metrics["lesion_fn"] > 0  # GT has lesions
         assert len(metrics["lesion_f1_per_class"]) == 4
+        assert 0.0 <= metrics["ece"] <= 1.0
         for r in metrics["per_case"]:
             assert "lesion_tp" in r
+            assert 0.0 <= r["ece"] <= 1.0
         csv_head = (
             (workdir / "outputs" / "tiny_cpu" / "eval_native_cases.csv")
             .read_text().splitlines()[0]
         )
-        assert csv_head.endswith("lesion_tp,lesion_fp,lesion_fn")
+        assert csv_head.endswith("lesion_tp,lesion_fp,lesion_fn,ece")
 
     def test_4_inference(self, workdir, monkeypatch):
         monkeypatch.chdir(workdir)

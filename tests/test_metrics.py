@@ -385,6 +385,61 @@ class TestLesionDetection:
         assert np.isnan(out["lesion_f1_per_class"][2])
 
 
+class TestCalibrationError:
+    """Voxel-level ECE semantics (Guo et al. binning). The reference has
+    no calibration readout — behavioral contracts only."""
+
+    def _make(self, n_bins=10):
+        from multimodal_organ_segmentation_tpu.train.metrics import (
+            CalibrationError,
+        )
+
+        return CalibrationError(n_bins=n_bins)
+
+    def _probs(self, conf, n, c=4):
+        """n voxels, all with max-class confidence ``conf`` on class 0."""
+        p = np.full((n, c), (1.0 - conf) / (c - 1), np.float32)
+        p[:, 0] = conf
+        return p
+
+    def test_perfect_confidence_and_accuracy(self):
+        m = self._make()
+        m.update(self._probs(1.0, 64), np.zeros(64, np.int32))
+        assert m.compute()["ece"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_overconfident_model(self):
+        # confidence 1.0 everywhere, half the voxels wrong → ECE 0.5
+        m = self._make()
+        labels = np.zeros(64, np.int32)
+        labels[32:] = 1
+        m.update(self._probs(1.0, 64), labels)
+        assert m.compute()["ece"] == pytest.approx(0.5, abs=1e-6)
+
+    def test_calibrated_bin(self):
+        # confidence 0.75 with 75% empirical accuracy → gap 0 in its bin
+        m = self._make()
+        labels = np.zeros(64, np.int32)
+        labels[48:] = 1  # 25% wrong
+        case = m.update(self._probs(0.75, 64), labels)
+        assert case == pytest.approx(0.0, abs=1e-6)
+        assert m.compute()["ece"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_pooled_equals_weighted_cases(self):
+        # cohort ECE pools bins across cases (not a mean of case ECEs):
+        # two single-bin cases with gaps 0.25 and 0.05 in DIFFERENT bins
+        # pool to (64·0.25 + 192·0.05) / 256
+        m = self._make()
+        l1 = np.zeros(64, np.int32); l1[32:] = 1          # acc .5 @ conf .75
+        l2 = np.zeros(192, np.int32); l2[96:] = 1         # acc .5 @ conf .55
+        m.update(self._probs(0.75, 64), l1)
+        m.update(self._probs(0.55, 192), l2)
+        expected = (64 * 0.25 + 192 * 0.05) / 256
+        assert m.compute()["ece"] == pytest.approx(expected, abs=1e-6)
+
+    def test_empty_is_nan(self):
+        assert np.isnan(self._make().compute()["ece"])
+
+
 def test_get_metrics_factory():
     cfg = ConfigNode({"model": {"out_channels": 8}})
     metrics = get_metrics(cfg)
