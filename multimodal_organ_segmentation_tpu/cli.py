@@ -32,7 +32,7 @@ def parse_args(argv=None) -> argparse.Namespace:
         "--mode", required=True,
         choices=[
             "train", "eval", "inference", "preprocess", "analysis", "explain",
-            "export", "serve",
+            "export", "serve", "tune",
         ],
     )
     parser.add_argument("--config", default=_DEFAULT_CONFIG)
@@ -415,6 +415,35 @@ def run_serve(config, logger) -> None:
     _serve(config, logger)
 
 
+def run_tune(config, logger) -> None:
+    """Measure serving candidates (tile chunk size × overlap) on the
+    target device and write the winning profile (the reference runs
+    whatever sw_batch_size the YAML says; this measures it)."""
+    from multimodal_organ_segmentation_tpu.serving.tuner import (
+        tune_serving,
+        write_profile,
+    )
+
+    ckpt = config["_args"].get("checkpoint")
+    report = tune_serving(config, logger=logger, checkpoint=ckpt)
+    out = config["_args"].get("output")
+    profile_path = (
+        Path(out)
+        if out
+        else Path(config.get("experiment.output_dir", "outputs"))
+        / str(config.get("experiment.name", "exp"))
+        / "tuned_serving.yaml"
+    )
+    write_profile(report, profile_path, config)
+    best = report["best"]
+    logger.info(
+        f"Best: overlap={best['overlap']} sw_batch={best['sw_batch']} → "
+        f"{best['vol_per_min']} vol/min; profile saved: {profile_path} "
+        "(apply with --set inference.batch_size=... --set "
+        "inference.sliding_window.overlap=...)"
+    )
+
+
 def run_explain(config, logger) -> None:
     from multimodal_organ_segmentation_tpu.explainability import run_explainability
 
@@ -497,6 +526,7 @@ def main(argv=None) -> None:
         "explain": run_explain,
         "export": run_export,
         "serve": run_serve,
+        "tune": run_tune,
     }
     try:
         runners[args.mode](config, logger)

@@ -1,0 +1,120 @@
+"""Serving autotuner (--mode tune): measured sweep + profile fragment."""
+
+import numpy as np
+import pytest
+import yaml
+
+from multimodal_organ_segmentation_tpu.utils.config import (
+    default_config,
+    save_config,
+)
+
+
+@pytest.fixture(scope="module")
+def tune_cfg(tmp_path_factory):
+    cfg = default_config()
+    cfg.set("model.name", "unet3d")
+    cfg.set("model.out_channels", 4)
+    cfg.set("model.backbone.features", [4, 8])
+    cfg.set("model.backbone.img_size", [16, 16, 16])
+    cfg.set("model.head.dropout", 0.0)
+    cfg.set("inference.sliding_window.roi_size", [16, 16, 16])
+    cfg.set("hardware.mixed_precision", "none")
+    cfg.set("experiment.output_dir", str(tmp_path_factory.mktemp("out")))
+    cfg.set("tune.volume_shape", [24, 24, 24])
+    cfg.set("tune.sw_batches", [1, 2])
+    cfg.set("tune.repeats", 1)
+    return cfg
+
+
+class TestTuneServing:
+    def test_sweep_measures_all_candidates(self, tune_cfg):
+        from multimodal_organ_segmentation_tpu.serving.tuner import tune_serving
+
+        report = tune_serving(tune_cfg)
+        assert len(report["results"]) == 2  # 2 sw_batches × 1 overlap
+        for r in report["results"]:
+            assert r["vol_per_min"] > 0
+            assert r["overlap"] == 0.5
+        best = report["best"]
+        assert best["vol_per_min"] == max(
+            r["vol_per_min"] for r in report["results"]
+        )
+
+    def test_failed_candidate_recorded_not_fatal(self, tune_cfg, monkeypatch):
+        """A candidate that fails to compile is recorded with its error and
+        the sweep continues (HBM-OOM chunks on real hardware)."""
+        import multimodal_organ_segmentation_tpu.serving.tuner as T
+        from multimodal_organ_segmentation_tpu.ops import sliding_window as SW
+
+        orig = SW.SlidingWindowRunner
+
+        class Flaky(orig):
+            def __call__(self, volume, variables):
+                if self.sw_batch_size == 2:
+                    raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+                return orig.__call__(self, volume, variables)
+
+        monkeypatch.setattr(SW, "SlidingWindowRunner", Flaky)
+        report = T.tune_serving(tune_cfg)
+        by_sw = {r["sw_batch"]: r for r in report["results"]}
+        assert "error" in by_sw[2] and "RESOURCE_EXHAUSTED" in by_sw[2]["error"]
+        assert by_sw[1]["vol_per_min"] > 0
+        assert report["best"]["sw_batch"] == 1
+
+    def test_write_profile_fragment(self, tune_cfg, tmp_path):
+        from multimodal_organ_segmentation_tpu.serving.tuner import (
+            tune_serving,
+            write_profile,
+        )
+
+        report = tune_serving(tune_cfg)
+        path = tmp_path / "profile.yaml"
+        write_profile(report, path)
+        doc = yaml.safe_load(path.read_text())
+        assert doc["inference"]["batch_size"] == report["best"]["sw_batch"]
+        assert (
+            doc["inference"]["sliding_window"]["overlap"]
+            == report["best"]["overlap"]
+        )
+        assert len(doc["tune_report"]) == len(report["results"])
+
+    def test_write_profile_all_failed_raises(self, tmp_path):
+        from multimodal_organ_segmentation_tpu.serving.tuner import write_profile
+
+        with pytest.raises(RuntimeError, match="every tuning candidate"):
+            write_profile(
+                {"results": [{"error": "boom"}], "best": None}, tmp_path / "p.yaml"
+            )
+
+
+def test_cli_tune_mode(tmp_path, monkeypatch):
+    """--mode tune end to end: sweep on CPU, profile written where --output
+    says, applying the profile keys via --set round-trips."""
+    import yaml as _yaml
+
+    from multimodal_organ_segmentation_tpu import cli
+
+    cfg = default_config()
+    cfg.set("model.name", "unet3d")
+    cfg.set("model.out_channels", 4)
+    cfg.set("model.backbone.features", [4, 8])
+    cfg.set("model.backbone.img_size", [16, 16, 16])
+    cfg.set("inference.sliding_window.roi_size", [16, 16, 16])
+    cfg.set("hardware.mixed_precision", "none")
+    cfg.set("experiment.output_dir", str(tmp_path / "out"))
+    cfg.set("experiment.log_dir", str(tmp_path / "logs"))
+    cfg.set("tune.volume_shape", [20, 20, 20])
+    cfg.set("tune.sw_batches", [1])
+    cfg.set("tune.repeats", 1)
+    cfg_path = tmp_path / "cfg.yaml"
+    save_config(cfg, cfg_path)
+
+    profile = tmp_path / "tuned.yaml"
+    cli.main([
+        "--mode", "tune", "--config", str(cfg_path), "--device", "cpu",
+        "--output", str(profile),
+    ])
+    doc = _yaml.safe_load(profile.read_text())
+    assert doc["inference"]["batch_size"] == 1
+    assert doc["tune_report"][0]["vol_per_min"] > 0
