@@ -137,6 +137,9 @@ class InferenceService:
             # the SAME member list as batch predict, so the two serving
             # surfaces cannot diverge on the same config
             self._members = trainer._inference_members()
+            # the resident service never trains: release the restored
+            # optimizer moments (2× params HBM) before any tile chunk runs
+            trainer.freeze_for_inference()
             self._variables = self._members[0]
             num_classes = trainer.num_classes
             predict_fn = trainer._predict_fn

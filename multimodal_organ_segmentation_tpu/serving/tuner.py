@@ -81,6 +81,7 @@ def tune_serving(
             "(throughput is independent of the weight values)"
         )
     variables = trainer._inference_members()[0]
+    trainer.freeze_for_inference()  # moments off-chip before tile chunks
     predict_fn = trainer._predict_fn
     dp_mesh = None
     if (

@@ -318,7 +318,7 @@ class Trainer:
         softmaxes). Every member reuses the same compiled program."""
         members = [{"params": self._infer_params(), **self.state.extra}]
         for ens_path in list(self.config.get("inference.ensemble", []) or []):
-            ckpt = load_checkpoint(ens_path, target=self.state)
+            ckpt = load_checkpoint(ens_path, target=self._restore_target())
             tree = ckpt["tree"]
             members.append(
                 jax.tree_util.tree_map(
@@ -334,6 +334,42 @@ class Trainer:
                 f"Ensembling {len(members)} checkpoints (softmax average)"
             )
         return members
+
+    def freeze_for_inference(self) -> None:
+        """Release the optimizer state before inference-only work.
+
+        ``load_params`` restores the checkpoint's WHOLE tree, so Adam
+        moments (2× params) sit in HBM during serving — on the flagship
+        that headroom is the difference between sw_batch 15 fitting and
+        RESOURCE_EXHAUSTED (tile-chunk activations already fill most of
+        the chip). Inference never steps the optimizer; drop the moments
+        and let JAX free the buffers.
+
+        A buffer-free ``ShapeDtypeStruct`` skeleton of the dropped tree is
+        kept so later checkpoint restores (e.g. a second ``predict`` with
+        ``inference.ensemble``) still present a structure-complete Orbax
+        target; restored moments are host numpy and die with the restore
+        scope.
+        """
+        if self.state is not None and self.state.opt_state is not None:
+            self._opt_skeleton = jax.tree_util.tree_map(
+                lambda x: (
+                    jax.ShapeDtypeStruct(jnp.shape(x), x.dtype)
+                    if hasattr(x, "dtype")
+                    else x
+                ),
+                self.state.opt_state,
+            )
+            self.state = self.state.replace(opt_state=None)
+
+    def _restore_target(self):
+        """The Orbax restore target: the live state, with the optimizer
+        skeleton standing in for moments dropped by
+        ``freeze_for_inference`` (Orbax rejects structure mismatches)."""
+        skel = getattr(self, "_opt_skeleton", None)
+        if self.state.opt_state is None and skel is not None:
+            return self.state.replace(opt_state=skel)
+        return self.state
 
     def _zero1_active(self) -> bool:
         """ZeRO-1 optimizer-state sharding: on when ``parallel.zero1`` is
@@ -490,8 +526,14 @@ class Trainer:
         still opts out), one without evaluates on the raw weights."""
         if self.state is None:
             raise RuntimeError("call init_state first")
-        ckpt = load_checkpoint(path, target=self.state)
-        self.state = ckpt["tree"]
+        was_frozen = self.state.opt_state is None
+        ckpt = load_checkpoint(path, target=self._restore_target())
+        tree = ckpt["tree"]
+        if was_frozen:
+            # stay frozen: the restored moments are host numpy; don't let
+            # a late load_params resurrect them onto the device
+            tree = tree.replace(opt_state=None)
+        self.state = tree
 
     # -- batching ---------------------------------------------------------
 
@@ -941,6 +983,7 @@ class Trainer:
         )
 
         members = self._inference_members()
+        self.freeze_for_inference()  # moments off-chip before tile chunks
         if len(members) == 1:
             logits_for = lambda img: runner(img, members[0])
         else:
@@ -1178,6 +1221,7 @@ class Trainer:
         # averaged — the standard multi-fold deployment recipe
         # (nnU-Net-style); the reference has no ensembling
         member_vars = self._inference_members()
+        self.freeze_for_inference()  # moments off-chip before tile chunks
 
         # serving engine: shape-bucketed (one compile per tile-count bucket
         # instead of per volume shape) and, with a >1-device data axis,

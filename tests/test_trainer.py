@@ -710,6 +710,19 @@ class TestInferenceExtras:
         np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-4)
         np.testing.assert_array_equal(probs.argmax(axis=-1), pred)
 
+    def test_predict_releases_optimizer_state(self, tiny_cfg, tmp_path):
+        """Inference-only paths drop the restored Adam moments (2× params
+        of HBM) — on serving-sized programs that headroom is the
+        difference between fitting and RESOURCE_EXHAUSTED."""
+        in_dir = self._case_dir(tmp_path)
+        cfg = tiny_cfg.copy()
+        cfg.set("inference.sliding_window.roi_size", [16, 16, 16])
+        t = Trainer(cfg)
+        t.init_state(np.zeros((16, 16, 16, 2), np.float32))
+        assert t.state.opt_state is not None
+        t.predict(in_dir, tmp_path / "out")
+        assert t.state.opt_state is None
+
     def test_save_uncertainty(self, tiny_cfg, tmp_path):
         """inference.save_uncertainty writes a 3D normalized predictive
         entropy map consistent with the probability volume."""
