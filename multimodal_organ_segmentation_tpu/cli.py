@@ -434,7 +434,7 @@ def run_tune(config, logger) -> None:
         / str(config.get("experiment.name", "exp"))
         / "tuned_serving.yaml"
     )
-    write_profile(report, profile_path, config)
+    write_profile(report, profile_path)
     best = report["best"]
     logger.info(
         f"Best: overlap={best['overlap']} sw_batch={best['sw_batch']} → "

@@ -143,13 +143,7 @@ class InferenceService:
             self._variables = self._members[0]
             num_classes = trainer.num_classes
             predict_fn = trainer._predict_fn
-            dp_mesh = None
-            if (
-                bool(config.get("inference.data_parallel", True))
-                and trainer.mesh is not None
-                and trainer.mesh.shape["data"] > 1
-            ):
-                dp_mesh = trainer.mesh
+            dp_mesh = trainer._inference_mesh()
             model_name = str(config.get("model.name", "unknown"))
 
         self.runner = SlidingWindowRunner(

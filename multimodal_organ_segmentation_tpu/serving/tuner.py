@@ -55,6 +55,7 @@ def tune_serving(
 
     from multimodal_organ_segmentation_tpu.ops.sliding_window import (
         SlidingWindowRunner,
+        predict_labels,
     )
     from multimodal_organ_segmentation_tpu.train.trainer import Trainer
 
@@ -80,16 +81,12 @@ def tune_serving(
             "tune: no --checkpoint; timing a random init "
             "(throughput is independent of the weight values)"
         )
-    variables = trainer._inference_members()[0]
+    members = trainer._inference_members()
     trainer.freeze_for_inference()  # moments off-chip before tile chunks
     predict_fn = trainer._predict_fn
-    dp_mesh = None
-    if (
-        bool(config.get("inference.data_parallel", True))
-        and trainer.mesh is not None
-        and trainer.mesh.shape["data"] > 1
-    ):
-        dp_mesh = trainer.mesh
+    dp_mesh = trainer._inference_mesh()
+    tta = bool(config.get("inference.tta", False))
+    is_ensemble = len(members) > 1
 
     volume = jnp.zeros((*vol_shape, n_mod), jnp.float32)
     results: List[Dict[str, Any]] = []
@@ -108,11 +105,21 @@ def tune_serving(
                 mesh=dp_mesh,
             )
 
+            # the timed program is the DEPLOYED one: same TTA flips and
+            # ensemble softmax-average rule as predict_labels serves
+            if is_ensemble:
+                def run_sw(vol):
+                    acc = None
+                    for v in members:
+                        p = jax.nn.softmax(runner(vol, v), axis=-1)
+                        acc = p if acc is None else acc + p
+                    return acc / len(members)
+            else:
+                run_sw = lambda vol: runner(vol, members[0])  # noqa: E731
+
             def run_once():
-                out = runner(volume, variables)
-                return float(
-                    jnp.sum(jnp.argmax(out, axis=-1).astype(jnp.int32))
-                )
+                labels_dev = predict_labels(run_sw, volume, tta=tta)
+                return float(jnp.sum(labels_dev.astype(jnp.int32)))
 
             try:
                 t0 = time.perf_counter()
@@ -143,14 +150,17 @@ def tune_serving(
     return {"results": results, "best": best}
 
 
-def write_profile(report: Dict[str, Any], path, config=None) -> None:
-    """Write the winning candidate as a YAML config fragment.
+def write_profile(report: Dict[str, Any], path) -> None:
+    """Write the winning candidate as a pure YAML config fragment.
 
     The fragment's keys are real config paths — apply with
     ``--set inference.batch_size=... --set
     inference.sliding_window.overlap=...`` or merge into a config file.
-    The full sweep rides along under ``tune_report`` for the record.
+    The full sweep record goes to a sibling ``<path>.report.json`` so the
+    fragment stays merge-clean.
     """
+    import json
+
     import yaml
 
     best = report.get("best")
@@ -164,7 +174,6 @@ def write_profile(report: Dict[str, Any], path, config=None) -> None:
             "batch_size": int(best["sw_batch"]),
             "sliding_window": {"overlap": float(best["overlap"])},
         },
-        "tune_report": report["results"],
     }
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
@@ -175,3 +184,5 @@ def write_profile(report: Dict[str, Any], path, config=None) -> None:
             f"overlap={best['overlap']}, sw_batch={best['sw_batch']})\n"
         )
         yaml.safe_dump(doc, f, sort_keys=False)
+    with open(p.with_suffix(p.suffix + ".report.json"), "w") as f:
+        json.dump(report["results"], f, indent=2)

@@ -479,13 +479,23 @@ class LesionDetectionMetric:
         }
 
 
+# voxels per accumulation chunk: float32 scatter-adds lose +1.0 increments
+# once a running sum passes 2^24 (~16.7M); whole-body grids are ~100M
+# voxels, most in one confidence bin. Chunked partial sums stay exact
+# (counts in int32) / near-exact (f32 sums of ≤4M bounded values), and the
+# host pools the [k, n_bins] partials in float64.
+_ECE_CHUNK = 1 << 22
+
+
 @partial(jax.jit, static_argnames=("n_bins",))
 def _ece_update(probs: jax.Array, labels: jax.Array, n_bins: int = 10):
-    """Per-bin (count, confidence sum, correct count) for one volume.
+    """Per-bin (count, confidence sum, correct count) partials, shape
+    ``[k, n_bins]``, for one volume.
 
     ``probs`` is the per-voxel class posterior ``[..., C]``; confidence is
     its max, a voxel is correct when the argmax matches ``labels``. Runs
-    on device so only 3 length-``n_bins`` vectors are fetched per case.
+    on device so only ``3·k·n_bins`` scalars are fetched per case. Like
+    ``_dice_update``, this compiles once per native grid shape.
     """
     conf = jnp.max(probs, axis=-1).reshape(-1)
     correct = (
@@ -493,10 +503,24 @@ def _ece_update(probs: jax.Array, labels: jax.Array, n_bins: int = 10):
     ).astype(jnp.float32)
     # conf ∈ (1/C, 1]; clip 1.0 into the last bin
     idx = jnp.clip((conf * n_bins).astype(jnp.int32), 0, n_bins - 1)
-    count = jnp.zeros(n_bins, jnp.float32).at[idx].add(1.0)
-    conf_sum = jnp.zeros(n_bins, jnp.float32).at[idx].add(conf)
-    correct_sum = jnp.zeros(n_bins, jnp.float32).at[idx].add(correct)
-    return count, conf_sum, correct_sum
+
+    n = conf.shape[0]
+    k = -(-n // _ECE_CHUNK)
+    pad = k * _ECE_CHUNK - n
+    w = jnp.pad(jnp.ones(n, jnp.float32), (0, pad))
+    idx = jnp.pad(idx, (0, pad)).reshape(k, _ECE_CHUNK)
+    conf = jnp.pad(conf, (0, pad)).reshape(k, _ECE_CHUNK)
+    correct = jnp.pad(correct, (0, pad)).reshape(k, _ECE_CHUNK)
+    w = w.reshape(k, _ECE_CHUNK)
+
+    def chunk(i, c, r, m):
+        return (
+            jnp.zeros(n_bins, jnp.int32).at[i].add(m.astype(jnp.int32)),
+            jnp.zeros(n_bins, jnp.float32).at[i].add(c * m),
+            jnp.zeros(n_bins, jnp.float32).at[i].add(r * m),
+        )
+
+    return jax.vmap(chunk)(idx, conf, correct, w)
 
 
 class CalibrationError:
@@ -532,9 +556,12 @@ class CalibrationError:
 
     def update(self, probs, labels) -> float:
         """Accumulate one case; returns the case's own ECE."""
-        c, s, k = (np.asarray(a, np.float64) for a in _ece_update(
-            probs, labels, n_bins=self.n_bins
-        ))
+        # [k, n_bins] device partials → float64 pooling on host (chunking
+        # keeps the f32 sums exact-enough on ~100M-voxel grids)
+        c, s, k = (
+            np.asarray(a, np.float64).sum(axis=0)
+            for a in _ece_update(probs, labels, n_bins=self.n_bins)
+        )
         self.count += c
         self.conf_sum += s
         self.correct_sum += k

@@ -362,6 +362,20 @@ class Trainer:
             )
             self.state = self.state.replace(opt_state=None)
 
+    def _inference_mesh(self):
+        """The mesh handed to the sliding-window runner: the trainer mesh
+        when ``inference.data_parallel`` (default on) and the data axis is
+        non-trivial, else None. ONE rule shared by evaluate_native /
+        predict / serving / tune — divergence would mean the tuner times a
+        different program than serving runs."""
+        if (
+            bool(self.config.get("inference.data_parallel", True))
+            and self.mesh is not None
+            and self.mesh.shape["data"] > 1
+        ):
+            return self.mesh
+        return None
+
     def _restore_target(self):
         """The Orbax restore target: the live state, with the optimizer
         skeleton standing in for moments dropped by
@@ -965,13 +979,7 @@ class Trainer:
         mode = str(sw_cfg.get("mode", "gaussian"))
         # int or "auto"/"auto:N" — the runner resolves auto per bucket
         sw_batch = self.config.get("inference.batch_size", 4)
-        dp_mesh = None
-        if (
-            bool(self.config.get("inference.data_parallel", True))
-            and self.mesh is not None
-            and self.mesh.shape["data"] > 1
-        ):
-            dp_mesh = self.mesh
+        dp_mesh = self._inference_mesh()
         runner = SlidingWindowRunner(
             self._predict_fn,
             roi_size=roi,
@@ -1229,13 +1237,7 @@ class Trainer:
         # `inference.shape_bucketing: false` falls back to the per-shape
         # static-grid program.
         use_bucket = bool(self.config.get("inference.shape_bucketing", True))
-        dp_mesh = None
-        if (
-            bool(self.config.get("inference.data_parallel", True))
-            and self.mesh is not None
-            and self.mesh.shape["data"] > 1
-        ):
-            dp_mesh = self.mesh
+        dp_mesh = self._inference_mesh()
         runner = None
         if use_bucket:
             from multimodal_organ_segmentation_tpu.ops.sliding_window import (

@@ -72,12 +72,48 @@ class TestTuneServing:
         path = tmp_path / "profile.yaml"
         write_profile(report, path)
         doc = yaml.safe_load(path.read_text())
+        # the fragment is merge-clean config; the sweep record is a sibling
+        assert set(doc) == {"inference"}
         assert doc["inference"]["batch_size"] == report["best"]["sw_batch"]
         assert (
             doc["inference"]["sliding_window"]["overlap"]
             == report["best"]["overlap"]
         )
-        assert len(doc["tune_report"]) == len(report["results"])
+        import json
+
+        sidecar = json.loads(
+            (tmp_path / "profile.yaml.report.json").read_text()
+        )
+        assert len(sidecar) == len(report["results"])
+
+    def test_tta_and_ensemble_ride_the_timed_program(self, tune_cfg, tmp_path, monkeypatch):
+        """The timed program is the deployed one: TTA multiplies the
+        sliding-window passes per run and ensemble members each run."""
+        from multimodal_organ_segmentation_tpu.ops import sliding_window as SW
+        import multimodal_organ_segmentation_tpu.serving.tuner as T
+
+        calls = []
+        orig = SW.SlidingWindowRunner
+
+        class Counting(orig):
+            def __call__(self, volume, variables):
+                calls.append(1)
+                return orig.__call__(self, volume, variables)
+
+        monkeypatch.setattr(SW, "SlidingWindowRunner", Counting)
+        cfg = tune_cfg.copy()
+        cfg.set("tune.sw_batches", [1])
+        cfg.set("tune.repeats", 1)
+
+        report = T.tune_serving(cfg)
+        base_calls = len(calls)
+        assert report["best"]["vol_per_min"] > 0
+
+        calls.clear()
+        cfg.set("inference.tta", True)
+        T.tune_serving(cfg)
+        # flip TTA = 1 original + 3 flipped passes per run
+        assert len(calls) == 4 * base_calls
 
     def test_write_profile_all_failed_raises(self, tmp_path):
         from multimodal_organ_segmentation_tpu.serving.tuner import write_profile
@@ -117,4 +153,7 @@ def test_cli_tune_mode(tmp_path, monkeypatch):
     ])
     doc = _yaml.safe_load(profile.read_text())
     assert doc["inference"]["batch_size"] == 1
-    assert doc["tune_report"][0]["vol_per_min"] > 0
+    import json
+
+    sidecar = json.loads((tmp_path / "tuned.yaml.report.json").read_text())
+    assert sidecar[0]["vol_per_min"] > 0
