@@ -358,6 +358,127 @@ def random_crop(
 
 
 # ---------------------------------------------------------------------------
+# patch-based training (native-resolution patches; no reference analog —
+# the reference can ONLY train on whole volumes resized to img_size,
+# /root/reference/src/data/transforms.py:445-449, destroying native
+# resolution. Patch sampling + our sliding-window inference is the
+# standard full-resolution 3D-segmentation pipeline.)
+# ---------------------------------------------------------------------------
+
+def pad_to_min_size(sample: Sample, size: Tuple[int, int, int]) -> Sample:
+    """Zero-pad (centered) so every spatial dim is ≥ ``size``.
+
+    Pad amounts derive from static shapes, so this stays one jit program
+    per input shape. Image pads with 0 (≈ normalized background after
+    ``modality_normalize``); label pads with background class 0.
+    """
+    img = sample["image"]
+    pads = [max(0, size[i] - img.shape[i]) for i in range(3)]
+    if not any(pads):
+        return sample
+    cfg = [(p // 2, p - p // 2) for p in pads]
+    out = dict(sample)
+    out["image"] = jnp.pad(img, cfg + [(0, 0)])
+    if "label" in sample:
+        out["label"] = jnp.pad(sample["label"], cfg)
+    return out
+
+
+def _unravel3(flat: jax.Array, shape: Tuple[int, int, int]):
+    _, w, d = shape
+    return jnp.stack([flat // (w * d), (flat // d) % w, flat % d])
+
+
+def _clip_start(center: jax.Array, shape, size) -> jax.Array:
+    lo = jnp.zeros(3, jnp.int32)
+    hi = jnp.asarray([shape[i] - size[i] for i in range(3)], jnp.int32)
+    return jnp.clip(center - jnp.asarray([s // 2 for s in size], jnp.int32), lo, hi)
+
+
+def _slice_sample(sample: Sample, start: jax.Array, size) -> Sample:
+    out = dict(sample)
+    out["image"] = jax.lax.dynamic_slice(
+        sample["image"],
+        (start[0], start[1], start[2], 0),
+        (*size, sample["image"].shape[-1]),
+    )
+    if "label" in sample:
+        out["label"] = jax.lax.dynamic_slice(
+            sample["label"], (start[0], start[1], start[2]), tuple(size)
+        )
+    return out
+
+
+def balanced_random_crop(
+    sample: Sample,
+    key: jax.Array,
+    size: Tuple[int, int, int],
+    pos_ratio: float = 0.5,
+) -> Sample:
+    """Random patch with foreground oversampling (nnU-Net-style sampler).
+
+    With probability ``pos_ratio`` the patch is centered on a uniformly
+    chosen foreground voxel (any label > 0), else its origin is uniform
+    over the grid; all-background volumes always fall back to uniform.
+    The foreground draw is the k-th set voxel via ``searchsorted`` on an
+    int32 ``cumsum`` of the flat mask — O(N), no host sync, exact for
+    grids up to 2³¹ voxels. One jit program per native grid shape;
+    output shape is always the static ``size``. Requires dims ≥ ``size``
+    (see :func:`pad_to_min_size`).
+    """
+    lbl = sample.get("label")
+    if lbl is None:
+        return random_crop(sample, key, size)
+    shape = tuple(lbl.shape)
+    k_pick, k_coin, k_uni = jax.random.split(key, 3)
+
+    fg = (lbl > 0).reshape(-1).astype(jnp.int32)
+    total = jnp.sum(fg)
+    cum = jnp.cumsum(fg)
+    nth = jax.random.randint(k_pick, (), 0, jnp.maximum(total, 1)) + 1
+    center = _unravel3(
+        jnp.searchsorted(cum, nth).astype(jnp.int32), shape
+    )
+    fg_start = _clip_start(center, shape, size)
+
+    uni_start = jnp.stack([
+        jax.random.randint(k, (), 0, shape[i] - size[i] + 1)
+        for i, k in enumerate(jax.random.split(k_uni, 3))
+    ]).astype(jnp.int32)
+
+    use_fg = (jax.random.uniform(k_coin) < pos_ratio) & (total > 0)
+    return _slice_sample(sample, jnp.where(use_fg, fg_start, uni_start), size)
+
+
+def label_centered_crop(sample: Sample, size: Tuple[int, int, int]) -> Sample:
+    """Deterministic patch centered on the foreground center of mass.
+
+    The validation-side counterpart of :func:`balanced_random_crop`:
+    static output shape, no randomness (val loss/Dice stay comparable
+    across epochs), guaranteed to cover the bulk of the labeled anatomy.
+    All-background volumes center on the grid. Requires dims ≥ ``size``.
+    """
+    lbl = sample.get("label")
+    if lbl is None:
+        return center_crop(sample, size)
+    shape = tuple(lbl.shape)
+    fg = (lbl > 0).astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(fg), 1.0)
+    com = []
+    for ax in range(3):
+        other = tuple(a for a in range(3) if a != ax)
+        per = jnp.sum(fg, axis=other)
+        com.append(jnp.sum(per * jnp.arange(shape[ax], dtype=jnp.float32)) / total)
+    center = jnp.asarray(com)
+    center = jnp.where(
+        jnp.sum(fg) > 0,
+        center,
+        jnp.asarray([s / 2.0 for s in shape], jnp.float32),
+    ).astype(jnp.int32)
+    return _slice_sample(sample, _clip_start(center, shape, size), size)
+
+
+# ---------------------------------------------------------------------------
 # pipeline
 # ---------------------------------------------------------------------------
 
@@ -453,10 +574,20 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
         elastic_cfg.to_dict() if hasattr(elastic_cfg, "to_dict") else dict(elastic_cfg)
     )
     do_elastic = bool(elastic_cfg.get("enabled", False))
+    # patch-based training (data.patch_based): native-resolution patches
+    # with foreground oversampling instead of the reference's whole-volume
+    # resize (train → balanced_random_crop, val → label_centered_crop;
+    # test/eval keep the resize for reference parity)
+    pb_cfg = config.get("data.patch_based", {}) or {}
+    pb_cfg = pb_cfg.to_dict() if hasattr(pb_cfg, "to_dict") else dict(pb_cfg)
+    patch_mode = bool(pb_cfg.get("enabled", False)) and mode in ("train", "val")
+    patch_size = tuple(pb_cfg.get("size") or img_size)
+    pos_ratio = float(pb_cfg.get("pos_ratio", 0.5))
+
     # mode="native": normalize only, keep the original grid — feeds the
     # sliding-window native-grid evaluation path (the reference can only
     # evaluate on the resized grid, SURVEY.md §3.2)
-    resize_needed = len(img_size) == 3 and mode != "native"
+    resize_needed = len(img_size) == 3 and mode != "native" and not patch_mode
 
     def fn(sample: Sample, key: jax.Array) -> Sample:
         out = dict(sample)
@@ -472,6 +603,14 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
                     out, k3, shift_range=(-intensity, intensity), prob=0.3
                 )
             out = random_gaussian_noise(out, k4, std=0.05, prob=0.2)
+        if patch_mode:
+            out = pad_to_min_size(out, patch_size)
+            if train_mode:
+                out = balanced_random_crop(
+                    out, jax.random.fold_in(key, 2), patch_size, pos_ratio
+                )
+            else:
+                out = label_centered_crop(out, patch_size)
         if resize_needed:
             out = resize_sample(out, img_size)
         if train_mode and aug_enabled:

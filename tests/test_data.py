@@ -7,8 +7,11 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_organ_segmentation_tpu.data.transforms import (
+    balanced_random_crop,
     get_transforms,
+    label_centered_crop,
     modality_normalize,
+    pad_to_min_size,
     random_crop,
     random_elastic_deform,
     random_flip,
@@ -268,6 +271,112 @@ class TestPipeline:
         out1 = pipe(sample, jax.random.key(0))
         out2 = pipe(sample, jax.random.key(99))
         np.testing.assert_array_equal(np.asarray(out1["image"]), np.asarray(out2["image"]))
+
+
+class TestPatchBasedTraining:
+    """Native-resolution patch sampling (data.patch_based) — the training
+    mode the reference cannot offer (it always resizes whole volumes,
+    /root/reference/src/data/transforms.py:445-449)."""
+
+    @staticmethod
+    def _lesion_sample(vol=40, lesion_at=(3, 3, 3), lesion_sz=2):
+        """A tiny off-center lesion in an otherwise empty volume."""
+        image = np.zeros((vol, vol, vol, 2), np.float32)
+        label = np.zeros((vol, vol, vol), np.int32)
+        s = tuple(slice(a, a + lesion_sz) for a in lesion_at)
+        label[s] = 3
+        image[(*s, slice(None))] = 5.0
+        return {"image": jnp.asarray(image), "label": jnp.asarray(label)}
+
+    def test_pos_ratio_one_always_hits_foreground(self):
+        sample = self._lesion_sample()
+        for i in range(8):
+            out = balanced_random_crop(
+                sample, jax.random.key(i), (8, 8, 8), pos_ratio=1.0
+            )
+            assert out["image"].shape == (8, 8, 8, 2)
+            assert out["label"].shape == (8, 8, 8)
+            assert int(jnp.sum(out["label"] > 0)) > 0
+
+    def test_pos_ratio_zero_is_uniform(self):
+        # uniform 8³ patches hit a 2³ corner lesion in a 40³ grid ~2% of
+        # the time; 10 all-hitting draws would be ~1e-17
+        sample = self._lesion_sample()
+        hits = sum(
+            int(jnp.sum(balanced_random_crop(
+                sample, jax.random.key(i), (8, 8, 8), pos_ratio=0.0
+            )["label"]) > 0)
+            for i in range(10)
+        )
+        assert hits < 10
+
+    def test_all_background_falls_back_uniform(self):
+        sample = {
+            "image": jnp.ones((20, 20, 20, 1), jnp.float32),
+            "label": jnp.zeros((20, 20, 20), jnp.int32),
+        }
+        out = balanced_random_crop(sample, jax.random.key(0), (8, 8, 8), 1.0)
+        assert out["label"].shape == (8, 8, 8)
+        assert int(jnp.sum(out["label"])) == 0
+
+    def test_pad_to_min_size(self):
+        sample = {
+            "image": jnp.ones((6, 10, 6, 2), jnp.float32),
+            "label": jnp.ones((6, 10, 6), jnp.int32),
+        }
+        out = pad_to_min_size(sample, (8, 8, 8))
+        assert out["image"].shape == (8, 10, 8, 2)
+        assert out["label"].shape == (8, 10, 8)
+        # centered pad: original content in the middle, zeros at the rim
+        assert int(out["label"][0, 0, 0]) == 0
+        assert int(out["label"][1, 0, 1]) == 1
+
+    def test_label_centered_crop_deterministic_and_covering(self):
+        sample = self._lesion_sample(lesion_at=(30, 30, 30), lesion_sz=4)
+        out1 = label_centered_crop(sample, (8, 8, 8))
+        out2 = label_centered_crop(sample, (8, 8, 8))
+        np.testing.assert_array_equal(
+            np.asarray(out1["label"]), np.asarray(out2["label"])
+        )
+        # the whole 4³ lesion fits in the centered 8³ patch
+        assert int(jnp.sum(out1["label"] > 0)) == 4 ** 3
+
+    def test_pipeline_wiring(self, default_cfg):
+        cfg = default_cfg
+        cfg.set("model.backbone.img_size", [16, 16, 16])
+        cfg.set("data.patch_based", {
+            "enabled": True, "size": [8, 8, 8], "pos_ratio": 1.0,
+        })
+        rng = np.random.default_rng(0)
+        sample = {
+            "image": rng.uniform(-500, 500, (24, 24, 24, 2)).astype(np.float32),
+            "label": (rng.uniform(size=(24, 24, 24)) < 0.1).astype(np.int32),
+        }
+        train_out = get_transforms(cfg, mode="train")(sample, jax.random.key(0))
+        assert train_out["image"].shape == (8, 8, 8, 2)
+        assert train_out["label"].shape == (8, 8, 8)
+
+        val = get_transforms(cfg, mode="val")
+        v1 = val(sample, jax.random.key(0))
+        v2 = val(sample, jax.random.key(7))
+        assert v1["image"].shape == (8, 8, 8, 2)
+        np.testing.assert_array_equal(
+            np.asarray(v1["image"]), np.asarray(v2["image"])
+        )
+
+        # test/eval keep the reference's resize semantics
+        test_out = get_transforms(cfg, mode="test")(sample, jax.random.key(0))
+        assert test_out["image"].shape == (16, 16, 16, 2)
+
+    def test_pipeline_pads_small_volumes(self, default_cfg):
+        cfg = default_cfg
+        cfg.set("data.patch_based", {"enabled": True, "size": [8, 8, 8]})
+        sample = {
+            "image": np.ones((5, 5, 5, 2), np.float32),
+            "label": np.ones((5, 5, 5), np.int32),
+        }
+        out = get_transforms(cfg, mode="train")(sample, jax.random.key(0))
+        assert out["image"].shape == (8, 8, 8, 2)
 
 
 class TestCollate:

@@ -327,6 +327,30 @@ class TestEndToEnd:
         assert np.allclose(aff, np.diag([1.5, 1.5, 2.0, 1.0]))
 
 
+class TestPatchBasedTrainingE2E:
+    def test_train_on_native_resolution_patches(self, tiny_cfg):
+        """data.patch_based trains end-to-end: the loader yields static
+        patch-shaped batches (no resize), loss improves, val runs on the
+        deterministic label-centered crop."""
+        cfg = tiny_cfg.copy()
+        cfg.set("data.patch_based", {
+            "enabled": True, "size": [8, 8, 8], "pos_ratio": 0.7,
+        })
+        cfg.set("training.epochs", 2)
+        cfg.set("experiment.name", "patch_based_e2e")
+        train_loader = get_dataloader(cfg, split="train")
+        batch = next(iter(train_loader))
+        assert batch["image"].shape[1:] == (8, 8, 8, 2)
+        assert batch["label"].shape[1:] == (8, 8, 8)
+
+        val_loader = get_dataloader(cfg, split="val")
+        trainer = Trainer(cfg, train_loader=train_loader, val_loader=val_loader)
+        history = trainer.train()
+        assert len(history["train_loss"]) == 2
+        assert np.isfinite(history["train_loss"]).all()
+        assert np.isfinite(history["val_dice"]).all()
+
+
 class TestSkipNonfinite:
     def test_bad_batch_does_not_poison_state(self):
         """skip_nonfinite: a nan batch leaves params/opt-state untouched;
