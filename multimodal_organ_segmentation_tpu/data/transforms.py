@@ -414,6 +414,8 @@ def balanced_random_crop(
     key: jax.Array,
     size: Tuple[int, int, int],
     pos_ratio: float = 0.5,
+    class_balanced: bool = False,
+    num_classes: int = 0,
 ) -> Sample:
     """Random patch with foreground oversampling (nnU-Net-style sampler).
 
@@ -425,14 +427,27 @@ def balanced_random_crop(
     grids up to 2³¹ voxels. One jit program per native grid shape;
     output shape is always the static ``size``. Requires dims ≥ ``size``
     (see :func:`pad_to_min_size`).
+
+    ``class_balanced`` (needs ``num_classes``) first draws a class
+    uniformly among those PRESENT in the volume, then a voxel uniformly
+    within that class — small organs get equal sampling pressure instead
+    of being drowned out voxel-proportionally by large ones.
     """
     lbl = sample.get("label")
     if lbl is None:
         return random_crop(sample, key, size)
     shape = tuple(lbl.shape)
-    k_pick, k_coin, k_uni = jax.random.split(key, 3)
+    k_pick, k_coin, k_uni, k_cls = jax.random.split(key, 4)
 
-    fg = (lbl > 0).reshape(-1).astype(jnp.int32)
+    if class_balanced and num_classes > 1:
+        counts = jnp.bincount(
+            lbl.reshape(-1).astype(jnp.int32), length=num_classes
+        )
+        logits = jnp.where(counts[1:] > 0, 0.0, -jnp.inf)
+        cls = 1 + jax.random.categorical(k_cls, logits)
+        fg = (lbl == cls).reshape(-1).astype(jnp.int32)
+    else:
+        fg = (lbl > 0).reshape(-1).astype(jnp.int32)
     total = jnp.sum(fg)
     cum = jnp.cumsum(fg)
     nth = jax.random.randint(k_pick, (), 0, jnp.maximum(total, 1)) + 1
@@ -583,6 +598,8 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
     patch_mode = bool(pb_cfg.get("enabled", False)) and mode in ("train", "val")
     patch_size = tuple(pb_cfg.get("size") or img_size)
     pos_ratio = float(pb_cfg.get("pos_ratio", 0.5))
+    class_balanced = bool(pb_cfg.get("class_balanced", False))
+    num_classes = int(config.get("model.out_channels", 0))
 
     # mode="native": normalize only, keep the original grid — feeds the
     # sliding-window native-grid evaluation path (the reference can only
@@ -607,7 +624,8 @@ def get_transforms(config, mode: str = "train") -> TransformPipeline:
             out = pad_to_min_size(out, patch_size)
             if train_mode:
                 out = balanced_random_crop(
-                    out, jax.random.fold_in(key, 2), patch_size, pos_ratio
+                    out, jax.random.fold_in(key, 2), patch_size, pos_ratio,
+                    class_balanced=class_balanced, num_classes=num_classes,
                 )
             else:
                 out = label_centered_crop(out, patch_size)

@@ -13,6 +13,8 @@ Parity notes:
   ``warmup: true``).
 - step: ``StepLR(step_size, gamma)``.
 - plateau: ``ReduceLROnPlateau(mode=max, patience, factor)``.
+- poly: lr·(1 − e/E)^power — no reference analog (nnU-Net's standard
+  schedule, the usual companion of ``data.patch_based`` training).
 """
 
 from __future__ import annotations
@@ -102,6 +104,7 @@ class LRScheduler:
         self.min_lr = float(sched.get("min_lr", 1e-6))
         self.step_size = int(sched.get("step_size", 30))
         self.gamma = float(sched.get("gamma", 0.1))
+        self.power = float(sched.get("power", 0.9))  # poly only
         self.patience = int(sched.get("patience", 10))
         self.factor = float(sched.get("factor", 0.1))
         self.use_warmup_ramp = bool(sched.get("warmup", False))
@@ -125,6 +128,16 @@ class LRScheduler:
             ) / 2
         if self.name == "step":
             return self.base_lr * (self.gamma ** (epoch // self.step_size))
+        if self.name == "poly":
+            # nnU-Net-standard polynomial decay: lr·(1 − e/E)^power (the
+            # conventional companion of patch-based training; the reference
+            # offers cosine/step/plateau only). E excludes warmup epochs,
+            # matching how the cosine branch treats its ramp.
+            t_max = max(self.epochs - self.warmup, 1)
+            e = min(max(epoch - (self.warmup if self.use_warmup_ramp else 0), 0), t_max)
+            return max(
+                self.base_lr * (1.0 - e / t_max) ** self.power, self.min_lr
+            )
         if self.name == "plateau":
             if metric is not None:
                 if metric > self._best:

@@ -298,6 +298,10 @@ class Trainer:
         self._warned_replicate = False
         self._resume_step_in_epoch = 0
         self.last_step_losses: List[float] = []
+        # in-training native-grid validation (training.native_val_every):
+        # loader + bucketed runner built lazily once, reused every cycle
+        self._native_val_loader = None
+        self._native_val_runner = None
 
     # -- state ------------------------------------------------------------
 
@@ -642,6 +646,15 @@ class Trainer:
         es_enabled = bool(es_cfg.get("enabled", False))
         no_improve = 0
         prev_metric: Optional[float] = None
+        native_every = int(self.config.get("training.native_val_every", 0) or 0)
+        monitor = str(
+            self.config.get("training.checkpoint.monitor", "dice") or "dice"
+        ).lower()
+        if monitor == "dice_native" and native_every <= 0:
+            raise ValueError(
+                "training.checkpoint.monitor=dice_native requires "
+                "training.native_val_every > 0"
+            )
 
         if self._train_step is None:
             self._train_step = make_train_step(
@@ -720,12 +733,30 @@ class Trainer:
                 self.history["val_dice"].append(val_dice)
                 prev_metric = val_dice
 
+                # periodic native-grid validation: the deployed pipeline's
+                # Dice (sliding window on original grids + postprocess)
+                dice_native = None
+                if native_every > 0 and (
+                    (epoch + 1) % native_every == 0 or epoch + 1 == self.epochs
+                ):
+                    dice_native = self._native_val_dice()
+                if native_every > 0:
+                    # aligned-with-epochs history (None on off-cycle epochs)
+                    self.history.setdefault("val_dice_native", []).append(
+                        dice_native
+                    )
+
                 dt = time.perf_counter() - t0
                 if self.logger:
+                    native_str = (
+                        f" Native Dice: {dice_native:.4f}"
+                        if dice_native is not None else ""
+                    )
                     self.logger.info(
                         f"Epoch [{epoch + 1}/{self.epochs}] "
                         f"Train Loss: {train_loss:.4f} Val Loss: {val_loss:.4f} "
-                        f"Val Dice: {val_dice:.4f} LR: {lr:.2e} ({dt:.1f}s)"
+                        f"Val Dice: {val_dice:.4f}{native_str} "
+                        f"LR: {lr:.2e} ({dt:.1f}s)"
                     )
                 # machine-readable epoch stream (one JSON object per line) for
                 # dashboards/experiment tracking; append-only so a resumed run
@@ -741,35 +772,49 @@ class Trainer:
                         x = float(x)
                         return round(x, 6) if np.isfinite(x) else None
 
+                    rec = {
+                        "epoch": epoch + 1,
+                        "train_loss": _num(train_loss),
+                        "val_loss": _num(val_loss),
+                        "val_dice": _num(val_dice),
+                        "lr": lr,
+                        "seconds": round(dt, 2),
+                    }
+                    if dice_native is not None:
+                        rec["val_dice_native"] = _num(dice_native)
                     with open(self.output_dir / "metrics.jsonl", "a") as f:
-                        f.write(_json.dumps({
-                            "epoch": epoch + 1,
-                            "train_loss": _num(train_loss),
-                            "val_loss": _num(val_loss),
-                            "val_dice": _num(val_dice),
-                            "lr": lr,
-                            "seconds": round(dt, 2),
-                        }) + "\n")
+                        f.write(_json.dumps(rec) + "\n")
                     if tb_writer is not None:
-                        tb_writer.add_scalars(
-                            {
-                                "loss/train": train_loss,
-                                "loss/val": val_loss,
-                                "metrics/val_dice": val_dice,
-                                "lr": lr,
-                                "time/epoch_seconds": dt,
-                            },
-                            step=epoch + 1,
-                        )
+                        scalars = {
+                            "loss/train": train_loss,
+                            "loss/val": val_loss,
+                            "metrics/val_dice": val_dice,
+                            "lr": lr,
+                            "time/epoch_seconds": dt,
+                        }
+                        if dice_native is not None:
+                            scalars["metrics/val_dice_native"] = dice_native
+                        tb_writer.add_scalars(scalars, step=epoch + 1)
                         tb_writer.flush()
 
                 # best-metric tracking is independent of checkpoint policy
-                # (with save_best off, early stopping must still see the best)
-                is_best = val_dice >= self.best_metric
-                improved = val_dice > self.best_metric
-                self.best_metric = max(self.best_metric, val_dice)
+                # (with save_best off, early stopping must still see the best).
+                # monitor=dice_native tracks best only on native-val epochs —
+                # off-cycle epochs can't claim (or reset) the best.
+                if monitor == "dice_native":
+                    monitored = dice_native
+                else:
+                    monitored = val_dice
+                if monitored is None:
+                    is_best = False
+                    improved = False
+                else:
+                    is_best = monitored >= self.best_metric
+                    improved = monitored > self.best_metric
+                    self.best_metric = max(self.best_metric, monitored)
                 self.ckpt.save(
-                    self.state, epoch, val_dice, self.best_metric,
+                    self.state, epoch, monitored if monitored is not None else val_dice,
+                    self.best_metric,
                     history=self.history, is_best=is_best,
                 )
 
@@ -944,6 +989,69 @@ class Trainer:
         loss, metrics = self._validate()
         metrics["loss"] = loss
         return metrics
+
+    def _native_val_dice(self) -> Optional[float]:
+        """Mean foreground Dice of the DEPLOYED pipeline — sliding-window
+        inference on the val split's ORIGINAL grids + the configured
+        postprocess — computable DURING training (``training.
+        native_val_every``). Unlike :meth:`evaluate_native` this keeps the
+        optimizer moments resident (training continues afterwards) and
+        scores Dice only (no EDT metrics — this runs every N epochs).
+        The resized-grid ``_validate`` Dice is a proxy; this is the metric
+        the model actually deploys on, so ``training.checkpoint.monitor:
+        dice_native`` can select the best checkpoint by it.
+        """
+        if self._native_val_runner is None:
+            from multimodal_organ_segmentation_tpu.data.dataloader import (
+                get_dataloader,
+            )
+            from multimodal_organ_segmentation_tpu.data.transforms import (
+                get_transforms,
+            )
+            from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+                SlidingWindowRunner,
+            )
+
+            try:
+                self._native_val_loader = get_dataloader(
+                    self.config,
+                    split="val",
+                    transform=get_transforms(self.config, mode="native"),
+                )
+            except Exception as e:  # no val CSV / data_root: disable
+                if self.logger:
+                    self.logger.warning(
+                        f"native_val disabled: cannot build val loader ({e})"
+                    )
+                self.config.set("training.native_val_every", 0)
+                return None
+            sw_cfg = self.config.get("inference.sliding_window", {}) or {}
+            self._native_val_runner = SlidingWindowRunner(
+                self._predict_fn,
+                roi_size=tuple(sw_cfg.get("roi_size", [96, 96, 96])),
+                num_classes=self.num_classes,
+                overlap=float(sw_cfg.get("overlap", 0.5)),
+                sw_batch_size=self.config.get("inference.batch_size", 4),
+                mode=str(sw_cfg.get("mode", "gaussian")),
+                mesh=self._inference_mesh(),
+            )
+
+        from multimodal_organ_segmentation_tpu.ops.postprocess import (
+            postprocess_from_config,
+        )
+        from multimodal_organ_segmentation_tpu.train.metrics import DiceMetric
+
+        variables = {"params": self._infer_params(), **self.state.extra}
+        dm = DiceMetric(self.num_classes)
+        for batch in self._native_val_loader:
+            images = np.asarray(batch["image"])
+            labels = np.asarray(batch["label"]).astype(np.int32)
+            for b in range(images.shape[0]):
+                logits = self._native_val_runner(jnp.asarray(images[b]), variables)
+                pred = np.asarray(jnp.argmax(logits, axis=-1))
+                pred = postprocess_from_config(pred, self.config)
+                dm.update(jnp.asarray(pred[None]), jnp.asarray(labels[b][None]))
+        return float(dm.compute()["dice"])
 
     def evaluate_native(self, loader=None) -> Dict[str, Any]:
         """Native-grid evaluation: sliding-window inference on the ORIGINAL

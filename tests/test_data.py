@@ -310,6 +310,33 @@ class TestPatchBasedTraining:
         )
         assert hits < 10
 
+    def test_class_balanced_upsamples_small_organs(self):
+        """A 2-voxel class and a ~4000-voxel class, far apart: voxel-uniform
+        sampling essentially never centers on the small one; class-uniform
+        sampling hits it ~half the time."""
+        label = np.zeros((40, 40, 40), np.int32)
+        label[2:4, 2:4, 2:3] = 1                      # 8 voxels, one corner
+        label[24:40, 24:40, 24:40] = 2                # 4096 voxels, far corner
+        sample = {
+            "image": jnp.zeros((40, 40, 40, 1), jnp.float32),
+            "label": jnp.asarray(label),
+        }
+        def hits(class_balanced, n=16):
+            c = 0
+            for i in range(n):
+                out = balanced_random_crop(
+                    sample, jax.random.key(i), (8, 8, 8), pos_ratio=1.0,
+                    class_balanced=class_balanced, num_classes=3,
+                )
+                c += int(jnp.any(out["label"] == 1))
+            return c
+        # P(voxel-uniform draw lands on class 1) = 8/4104 ≈ 0.2% → 16 draws
+        # hit ≥6 times with probability < 1e-9
+        assert hits(False) < 6
+        # class-uniform: each draw hits class 1 w.p. 1/2 → ≥1 hit in 16
+        # draws fails with probability 2^-16
+        assert hits(True) >= 1
+
     def test_all_background_falls_back_uniform(self):
         sample = {
             "image": jnp.ones((20, 20, 20, 1), jnp.float32),

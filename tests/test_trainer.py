@@ -153,6 +153,41 @@ class TestSchedulers:
         assert get_learning_rate(s) == pytest.approx(1e-3)
 
 
+class TestPolyScheduler:
+    def test_poly_decay_curve(self):
+        cfg = default_config()
+        cfg.set("training.epochs", 100)
+        cfg.set("training.optimizer.lr", 1e-2)
+        cfg.set("training.scheduler", {
+            "name": "poly", "power": 0.9, "min_lr": 1e-6, "warmup_epochs": 0,
+        })
+        sched = LRScheduler(cfg)
+        assert sched.lr_for_epoch(0) == pytest.approx(1e-2)
+        for e in [1, 10, 50, 99]:
+            expect = max(1e-2 * (1 - e / 100) ** 0.9, 1e-6)
+            assert sched.lr_for_epoch(e) == pytest.approx(expect, rel=1e-9)
+        # monotone non-increasing, floored at min_lr
+        lrs = [sched.lr_for_epoch(e) for e in range(101)]
+        assert all(a >= b for a, b in zip(lrs, lrs[1:]))
+        assert sched.lr_for_epoch(100) == pytest.approx(1e-6)
+
+    def test_poly_with_warmup_ramp(self):
+        cfg = default_config()
+        cfg.set("training.epochs", 20)
+        cfg.set("training.optimizer.lr", 1e-3)
+        cfg.set("training.scheduler", {
+            "name": "poly", "warmup_epochs": 5, "warmup": True,
+            "min_lr": 0.0, "power": 1.0,
+        })
+        sched = LRScheduler(cfg)
+        # linear ramp over the first 5 epochs
+        assert sched.lr_for_epoch(0) == pytest.approx(1e-3 / 5)
+        assert sched.lr_for_epoch(4) == pytest.approx(1e-3)
+        # decay restarts at full lr after the ramp, over E − warmup epochs
+        assert sched.lr_for_epoch(5) == pytest.approx(1e-3)
+        assert sched.lr_for_epoch(10) == pytest.approx(1e-3 * (1 - 5 / 15))
+
+
 class TestEndToEnd:
     def test_train_improves_and_checkpoints(self, tiny_cfg):
         train_loader = get_dataloader(tiny_cfg, split="train")
@@ -349,6 +384,55 @@ class TestPatchBasedTrainingE2E:
         assert len(history["train_loss"]) == 2
         assert np.isfinite(history["train_loss"]).all()
         assert np.isfinite(history["val_dice"]).all()
+
+
+class TestNativeValDuringTraining:
+    def test_native_val_logged_and_monitored(self, tiny_cfg):
+        """training.native_val_every runs the deployed pipeline on the val
+        split's native grids mid-training; monitor=dice_native selects the
+        best checkpoint by it; training continues (moments NOT frozen)."""
+        import json
+
+        cfg = tiny_cfg.copy()
+        cfg.set("training.epochs", 3)
+        cfg.set("training.native_val_every", 2)
+        cfg.set("training.checkpoint.monitor", "dice_native")
+        cfg.set("inference.sliding_window.roi_size", [16, 16, 16])
+        cfg.set("inference.batch_size", 2)
+        cfg.set("experiment.name", "native_val_e2e")
+        train_loader = get_dataloader(cfg, split="train")
+        val_loader = get_dataloader(cfg, split="val")
+        trainer = Trainer(cfg, train_loader=train_loader, val_loader=val_loader)
+        history = trainer.train()
+
+        # epochs 2 and 3 (last) computed; epoch 1 off-cycle → None
+        native = history["val_dice_native"]
+        assert len(native) == 3
+        assert native[0] is None
+        assert native[1] is not None and np.isfinite(native[1])
+        assert native[2] is not None and np.isfinite(native[2])
+        # the monitored best is a native value
+        assert trainer.best_metric == pytest.approx(max(native[1], native[2]))
+        # moments survived (training can continue after native val)
+        assert trainer.state.opt_state is not None
+
+        out = Path(cfg.get("experiment.output_dir")) / "native_val_e2e"
+        recs = [json.loads(l) for l in
+                (out / "metrics.jsonl").read_text().strip().splitlines()]
+        assert "val_dice_native" not in recs[0]
+        assert recs[1]["val_dice_native"] == pytest.approx(native[1], abs=1e-5)
+
+    def test_monitor_native_requires_schedule(self, tiny_cfg):
+        cfg = tiny_cfg.copy()
+        cfg.set("training.checkpoint.monitor", "dice_native")
+        cfg.set("training.native_val_every", 0)
+        trainer = Trainer(
+            cfg,
+            train_loader=get_dataloader(cfg, split="train"),
+            val_loader=get_dataloader(cfg, split="val"),
+        )
+        with pytest.raises(ValueError, match="native_val_every"):
+            trainer.train()
 
 
 class TestSkipNonfinite:
