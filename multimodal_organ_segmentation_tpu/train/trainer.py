@@ -380,6 +380,50 @@ class Trainer:
             return self.mesh
         return None
 
+    def _case_shard(self):
+        """``(pid, nproc)`` for cohort-level case parallelism in
+        :meth:`predict`, or None.
+
+        ``inference.case_shard``:
+
+        - ``auto`` (default) — under a multi-process JAX job
+          (``jax.distributed``), each process predicts the cases
+          ``sorted(cases)[pid::nproc]``; tile-level parallelism stays
+          within the host (:meth:`_inference_mesh` switches to a
+          local-device mesh so no cross-host collective is issued from
+          per-host-divergent programs). Single-process runs: no-op.
+        - ``[pid, nproc]`` — explicit, for fleets of INDEPENDENT workers
+          (e.g. a job-array of single-chip hosts with no jax.distributed
+          coordinator). The reference has no cohort parallelism at all
+          (/root/reference/src/trainer/trainer.py:303-395 is a serial
+          per-case loop on one GPU).
+        - ``false`` — every process predicts every case.
+        """
+        val = self.config.get("inference.case_shard", "auto")
+        if isinstance(val, (list, tuple)):
+            pid, nproc = int(val[0]), int(val[1])
+            if not 0 <= pid < nproc:
+                raise ValueError(f"bad inference.case_shard {list(val)!r}")
+            return (pid, nproc) if nproc > 1 else None
+        if isinstance(val, bool):
+            if not val:
+                return None
+        elif str(val).lower() in ("false", "off", "none", "0"):
+            return None
+        nproc = jax.process_count()
+        return (jax.process_index(), nproc) if nproc > 1 else None
+
+    def _local_data_mesh(self):
+        """A data-axis mesh over THIS process's devices only — used when
+        case sharding makes per-process programs diverge (a global mesh
+        would deadlock on collectives)."""
+        local = jax.local_devices()
+        if len(local) <= 1:
+            return None
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(local), ("data",))
+
     def _restore_target(self):
         """The Orbax restore target: the live state, with the optimizer
         skeleton standing in for moments dropped by
@@ -1329,8 +1373,22 @@ class Trainer:
         tta = bool(self.config.get("inference.tta", False))
 
         cases = self._discover_cases(input_path)
+        # cohort parallelism: disjoint case subsets per process/worker
+        # (inference.case_shard); union over workers == the full cohort
+        shard = self._case_shard()
+        n_total = len(cases)
+        if shard is not None:
+            pid, nproc = shard
+            keys = sorted(cases)[pid::nproc]
+            cases = {k: cases[k] for k in keys}
         if self.logger:
-            self.logger.info(f"Found {len(cases)} cases under {input_path}")
+            msg = f"Found {n_total} cases under {input_path}"
+            if shard is not None:
+                msg += (
+                    f" (case shard {shard[0]}/{shard[1]}: "
+                    f"{len(cases)} assigned to this worker)"
+                )
+            self.logger.info(msg)
 
         predict_fn = self._predict_fn
         # checkpoint ensembling (inference.ensemble): member softmaxes are
@@ -1346,6 +1404,22 @@ class Trainer:
         # static-grid program.
         use_bucket = bool(self.config.get("inference.shape_bucketing", True))
         dp_mesh = self._inference_mesh()
+        if shard is not None and jax.process_count() > 1 and dp_mesh is not None:
+            # per-process case lists diverge — a global mesh would hang on
+            # cross-host collectives; keep tile-parallelism within the host
+            dp_mesh = self._local_data_mesh()
+            # params may live on the GLOBAL mesh (init/restore under the
+            # trainer mesh); the local program rejects global-device
+            # arrays. Inference params are fully replicated, so every
+            # shard is addressable here — pull to host and let the local
+            # jit re-commit them (once per cohort, not per case).
+            member_vars = [
+                jax.tree_util.tree_map(
+                    lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+                    v,
+                )
+                for v in member_vars
+            ]
         runner = None
         if use_bucket:
             from multimodal_organ_segmentation_tpu.ops.sliding_window import (

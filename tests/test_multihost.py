@@ -419,3 +419,113 @@ class TestTwoProcessSmoke:
                 pytest.skip(f"distributed CPU runtime unavailable: {joined[-500:]}")
             pytest.fail(f"2-process DP training smoke failed:\n{joined}")
         assert all("OK" in o for o in outs)
+
+
+_CASESHARD_WORKER = r"""
+import sys
+from pathlib import Path
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); n = int(sys.argv[2]); addr = sys.argv[3]; out = Path(sys.argv[4])
+jax.distributed.initialize(coordinator_address=addr, num_processes=n, process_id=pid)
+assert jax.process_count() == n
+
+from multimodal_organ_segmentation_tpu.parallel.mesh import make_mesh
+from multimodal_organ_segmentation_tpu.train.trainer import Trainer
+from multimodal_organ_segmentation_tpu.utils.config import default_config
+from multimodal_organ_segmentation_tpu.utils.io import load_nifti, save_nifti
+
+# identical 4-case cohort written into a per-process private dir (same seed
+# -> byte-identical volumes; no cross-process filesystem races)
+rng = np.random.default_rng(0)
+in_dir = out / "in"
+for i in range(4):
+    for mod in ("ct", "pet"):
+        d = in_dir / mod
+        d.mkdir(parents=True, exist_ok=True)
+        save_nifti(rng.normal(size=(16, 16, 16)).astype(np.float32),
+                   d / f"case{i}.nii.gz")
+
+def cfg_for():
+    cfg = default_config()
+    cfg.set("model.name", "unet3d")
+    cfg.set("model.backbone.features", [4, 8])
+    cfg.set("model.out_channels", 3)
+    cfg.set("data.modalities", ["CT", "PET"])
+    cfg.set("inference.sliding_window.roi_size", [16, 16, 16])
+    cfg.set("experiment.output_dir", str(out / "exp"))
+    return cfg
+
+# case_shard=auto + a GLOBAL mesh: predict must (a) take only this
+# process's cases and (b) swap the runner onto a LOCAL mesh — per-process
+# programs diverge, so a global mesh would deadlock on its collectives
+t = Trainer(cfg_for(), mesh=make_mesh(None))
+assert int(t.mesh.shape["data"]) * 1 >= n  # the trainer mesh really is global
+t.init_state(np.zeros((16, 16, 16, 2), np.float32))
+written = t.predict(in_dir, out / "pred")
+names = sorted(Path(w).name for w in written)
+expect = [f"case{i}_pred.nii.gz" for i in sorted(range(4))][pid::n]
+assert names == expect, (names, expect)
+
+# masks match an unsharded meshless run (same init seed -> same params)
+cfg2 = cfg_for()
+cfg2.set("inference.case_shard", False)
+cfg2.set("inference.data_parallel", False)
+t2 = Trainer(cfg2, mesh=False)
+t2.init_state(np.zeros((16, 16, 16, 2), np.float32))
+ref = {Path(w).name: w for w in t2.predict(in_dir, out / "ref")}
+for name in names:
+    a = load_nifti(out / "pred" / name, dtype=np.uint8)
+    b = load_nifti(ref[name], dtype=np.uint8)
+    np.testing.assert_array_equal(a, b)
+print(f"proc {pid} OK cases={names}")
+"""
+
+
+@pytest.mark.slow
+class TestTwoProcessCaseShardedInference:
+    def test_two_process_case_sharded_predict(self, tmp_path):
+        """``inference.case_shard: auto`` across a REAL process boundary:
+        each process predicts its ``[pid::n]`` case slice, the runner falls
+        back to a local-device mesh (no cross-host collective from
+        divergent programs — the run COMPLETING is the deadlock test), and
+        every mask equals the unsharded single-process reference."""
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        addr = f"127.0.0.1:{port}"
+        script = tmp_path / "caseshard_worker.py"
+        script.write_text(_CASESHARD_WORKER)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        # 2 local devices per process: the local-mesh fallback is non-trivial
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        repo = str(Path(__file__).resolve().parents[1])
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(i), "2", addr,
+                 str(tmp_path / f"w{i}")],
+                env=env,
+                cwd=repo,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.skip("2-process case-shard smoke timed out on this host")
+            outs.append(out.decode())
+        if any(p.returncode != 0 for p in procs):
+            joined = "\n".join(outs)
+            if "UNAVAILABLE" in joined or "DEADLINE" in joined:
+                pytest.skip(f"distributed CPU runtime unavailable: {joined[-500:]}")
+            pytest.fail(f"2-process case-shard smoke failed:\n{joined}")
+        assert all("OK" in o for o in outs)

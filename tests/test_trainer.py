@@ -897,3 +897,75 @@ class TestTTA:
         written = trainer.predict(tmp_path / "in", tmp_path / "out")
         pred = load_nifti(written[0], dtype=np.uint8)
         assert pred.shape == (16, 16, 16)
+
+
+class TestCaseShardedInference:
+    """Cohort-level case parallelism (inference.case_shard): disjoint case
+    subsets per worker whose union is the full cohort — the reference
+    predicts serially on one GPU (trainer.py:303-395)."""
+
+    def _cohort(self, tmp_path, n=5):
+        from multimodal_organ_segmentation_tpu.utils.io import save_nifti
+
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            for mod in ["ct", "pet"]:
+                d = tmp_path / "in" / mod
+                d.mkdir(parents=True, exist_ok=True)
+                save_nifti(
+                    rng.normal(size=(16, 16, 16)).astype(np.float32),
+                    d / f"case{i}.nii.gz",
+                )
+        return tmp_path / "in"
+
+    def _trainer(self, tiny_cfg, shard):
+        cfg = tiny_cfg.copy()
+        cfg.set("inference.sliding_window.roi_size", [16, 16, 16])
+        if shard is not None:
+            cfg.set("inference.case_shard", list(shard))
+        t = Trainer(cfg)
+        t.init_state(np.zeros((16, 16, 16, 2), np.float32))
+        return t
+
+    def test_union_of_shards_equals_unsharded(self, tiny_cfg, tmp_path):
+        from multimodal_organ_segmentation_tpu.utils.io import load_nifti
+
+        in_dir = self._cohort(tmp_path, n=5)
+        # one params tree for all three trainers so the masks must agree
+        ref = self._trainer(tiny_cfg, None)
+        params = ref.state.params
+        full = ref.predict(in_dir, tmp_path / "full")
+        assert len(full) == 5
+
+        names = {}
+        for pid in (0, 1):
+            t = self._trainer(tiny_cfg, (pid, 2))
+            t.state = t.state.replace(
+                params=jax.tree_util.tree_map(jnp.copy, params)
+            )
+            written = t.predict(in_dir, tmp_path / f"shard{pid}")
+            names[pid] = {p.split("/")[-1] for p in map(str, written)}
+        # disjoint, interleaved split covering the cohort
+        assert names[0] & names[1] == set()
+        assert names[0] | names[1] == {p.split("/")[-1] for p in map(str, full)}
+        assert len(names[0]) == 3 and len(names[1]) == 2  # [0::2] / [1::2]
+        # per-case masks identical to the unsharded run
+        for pid in (0, 1):
+            for fname in names[pid]:
+                a = load_nifti(tmp_path / f"shard{pid}" / fname, dtype=np.uint8)
+                b = load_nifti(tmp_path / "full" / fname, dtype=np.uint8)
+                np.testing.assert_array_equal(a, b)
+
+    def test_shard_resolution(self, tiny_cfg):
+        t = self._trainer(tiny_cfg, None)
+        # auto + single process → no sharding
+        assert t._case_shard() is None
+        t.config.set("inference.case_shard", False)
+        assert t._case_shard() is None
+        t.config.set("inference.case_shard", [1, 4])
+        assert t._case_shard() == (1, 4)
+        t.config.set("inference.case_shard", [0, 1])  # degenerate fleet
+        assert t._case_shard() is None
+        t.config.set("inference.case_shard", [4, 4])
+        with pytest.raises(ValueError):
+            t._case_shard()
