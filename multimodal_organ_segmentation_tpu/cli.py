@@ -169,6 +169,14 @@ def run_eval(config, logger) -> None:
         metrics = trainer.evaluate()
     logger.info(f"Results: {metrics}")
 
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # cohort-sharded eval merges full metrics onto EVERY process —
+        # only process 0 writes them (shared-filesystem write race)
+        logger.info("Non-zero process: metrics written by process 0")
+        return
+
     from multimodal_organ_segmentation_tpu.utils.io import save_json
 
     out = config["_args"].get("output")

@@ -144,3 +144,36 @@ def process_info() -> Dict[str, int]:
         "local_device_count": jax.local_device_count(),
         "global_device_count": jax.device_count(),
     }
+
+
+def allgather_payloads(obj: Any) -> list:
+    """All-gather one JSON-serializable host object per process.
+
+    Returns ``[payload_from_process_0, ..., payload_from_process_{n-1}]``
+    on EVERY process (single-process: ``[obj]``). Used to merge host-side
+    evaluation state (per-case metric rows, streaming accumulators) after
+    cohort-sharded native eval — the payloads are variable-size, so sizes
+    are gathered first and buffers padded to the global max before the
+    fixed-shape ``process_allgather``.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return [obj]
+
+    import json
+
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+
+    data = np.frombuffer(json.dumps(obj).encode("utf-8"), dtype=np.uint8)
+    sizes = np.asarray(
+        mhu.process_allgather(np.asarray([data.size], np.int64))
+    ).reshape(-1)
+    buf = np.zeros(int(sizes.max()), np.uint8)
+    buf[: data.size] = data
+    stacked = np.asarray(mhu.process_allgather(buf))
+    return [
+        json.loads(bytes(stacked[i, : int(sizes[i])]).decode("utf-8"))
+        for i in range(len(sizes))
+    ]

@@ -380,11 +380,12 @@ class Trainer:
             return self.mesh
         return None
 
-    def _case_shard(self):
+    def _case_shard(self, key: str = "inference.case_shard"):
         """``(pid, nproc)`` for cohort-level case parallelism in
-        :meth:`predict`, or None.
+        :meth:`predict` (``inference.case_shard``) and
+        :meth:`evaluate_native` (``evaluation.case_shard``), or None.
 
-        ``inference.case_shard``:
+        Value semantics:
 
         - ``auto`` (default) — under a multi-process JAX job
           (``jax.distributed``), each process predicts the cases
@@ -399,7 +400,7 @@ class Trainer:
           per-case loop on one GPU).
         - ``false`` — every process predicts every case.
         """
-        val = self.config.get("inference.case_shard", "auto")
+        val = self.config.get(key, "auto")
         if isinstance(val, (list, tuple)):
             pid, nproc = int(val[0]), int(val[1])
             if not 0 <= pid < nproc:
@@ -1131,7 +1132,18 @@ class Trainer:
         mode = str(sw_cfg.get("mode", "gaussian"))
         # int or "auto"/"auto:N" — the runner resolves auto per bucket
         sw_batch = self.config.get("inference.batch_size", 4)
+        # cohort parallelism (evaluation.case_shard, default auto): under a
+        # multi-process job each process scores cases[pid::nproc] and the
+        # streaming metric states are merged across processes afterwards —
+        # instead of every host redundantly scoring the full val set
+        shard = self._case_shard("evaluation.case_shard")
+        merge_across = shard is not None and jax.process_count() > 1
         dp_mesh = self._inference_mesh()
+        if merge_across and dp_mesh is not None:
+            # per-process case lists (and volume shapes) diverge — a global
+            # mesh would deadlock on its collectives; tile-parallelism
+            # stays within the host
+            dp_mesh = self._local_data_mesh()
         runner = SlidingWindowRunner(
             self._predict_fn,
             roi_size=roi,
@@ -1144,6 +1156,16 @@ class Trainer:
 
         members = self._inference_members()
         self.freeze_for_inference()  # moments off-chip before tile chunks
+        if merge_across:
+            # params may live on the GLOBAL mesh; the local program
+            # rejects global-device arrays (see predict)
+            members = [
+                jax.tree_util.tree_map(
+                    lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+                    v,
+                )
+                for v in members
+            ]
         if len(members) == 1:
             logits_for = lambda img: runner(img, members[0])
         else:
@@ -1203,13 +1225,18 @@ class Trainer:
                 n_bins=int(self.config.get("evaluation.calibration_bins", 10))
             )
         per_case: List[Dict[str, Any]] = []
+        case_idx: List[int] = []  # global sample index (stable row order)
         n_cases = 0
+        g = 0  # global sample counter across batches (shard ownership)
         smooth = 1e-5
         for batch in loader:
             images = np.asarray(batch["image"])
             labels = np.asarray(batch["label"]).astype(np.int32)
             ids = batch.get("patient_id")
             for b in range(images.shape[0]):
+                if shard is not None and g % shard[1] != shard[0]:
+                    g += 1
+                    continue
                 logits = logits_for(jnp.asarray(images[b]))
                 case_ece = None
                 if ece is not None:
@@ -1293,7 +1320,7 @@ class Trainer:
 
                 case_id = (
                     str(ids[b]) if ids is not None and b < len(ids)
-                    else f"case_{n_cases:03d}"
+                    else f"case_{g:03d}"  # GLOBAL index: unique under sharding
                 )
                 fg_present = [v for v in case_dice[1:] if v is not None]
                 per_case.append(
@@ -1316,7 +1343,66 @@ class Trainer:
                         **({"ece": case_ece} if ece is not None else {}),
                     }
                 )
+                case_idx.append(g)
                 n_cases += 1
+                g += 1
+
+        if merge_across:
+            from multimodal_organ_segmentation_tpu.parallel.multihost import (
+                allgather_payloads,
+            )
+
+            payload = {
+                "rows": per_case,
+                "idx": case_idx,
+                "dice": [
+                    dice.intersection.tolist(), dice.union.tolist(),
+                    int(dice.count),
+                ],
+                "hd": [float(d) for d in hd.distances],
+                "nsd": [[float(v) for v in s] for s in nsd._scores],
+                "assd": [[float(v) for v in s] for s in assd._scores],
+                "les": (
+                    [list(lesions._tp), list(lesions._fp), list(lesions._fn)]
+                    if lesions is not None else None
+                ),
+                "ece": (
+                    [ece.count.tolist(), ece.conf_sum.tolist(),
+                     ece.correct_sum.tolist()]
+                    if ece is not None else None
+                ),
+            }
+            parts = allgather_payloads(payload)
+            dice.reset()
+            hd.reset()
+            nsd.reset()
+            assd.reset()
+            if lesions is not None:
+                lesions.reset()
+            if ece is not None:
+                ece.reset()
+            indexed_rows: List[Tuple[int, Dict[str, Any]]] = []
+            for part in parts:
+                dice.intersection += np.asarray(part["dice"][0], np.float64)
+                dice.union += np.asarray(part["dice"][1], np.float64)
+                dice.count += int(part["dice"][2])
+                hd.distances.extend(part["hd"])
+                for c in range(self.num_classes):
+                    nsd._scores[c].extend(part["nsd"][c])
+                    assd._scores[c].extend(part["assd"][c])
+                if lesions is not None and part["les"] is not None:
+                    for c in range(self.num_classes):
+                        lesions._tp[c] += int(part["les"][0][c])
+                        lesions._fp[c] += int(part["les"][1][c])
+                        lesions._fn[c] += int(part["les"][2][c])
+                if ece is not None and part["ece"] is not None:
+                    ece.count += np.asarray(part["ece"][0], np.float64)
+                    ece.conf_sum += np.asarray(part["ece"][1], np.float64)
+                    ece.correct_sum += np.asarray(part["ece"][2], np.float64)
+                indexed_rows.extend(zip(part["idx"], part["rows"]))
+            indexed_rows.sort(key=lambda t: t[0])
+            per_case = [r for _, r in indexed_rows]
+            n_cases = len(per_case)
 
         metrics: Dict[str, Any] = dice.compute()
         hd_m = hd.compute()

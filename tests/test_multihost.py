@@ -529,3 +529,108 @@ class TestTwoProcessCaseShardedInference:
                 pytest.skip(f"distributed CPU runtime unavailable: {joined[-500:]}")
             pytest.fail(f"2-process case-shard smoke failed:\n{joined}")
         assert all("OK" in o for o in outs)
+
+
+_EVALSHARD_WORKER = r"""
+import sys
+from pathlib import Path
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); n = int(sys.argv[2]); addr = sys.argv[3]; out = Path(sys.argv[4])
+jax.distributed.initialize(coordinator_address=addr, num_processes=n, process_id=pid)
+
+from multimodal_organ_segmentation_tpu.data import get_dataloader
+from multimodal_organ_segmentation_tpu.data.synthetic import generate_synthetic_dataset
+from multimodal_organ_segmentation_tpu.parallel.mesh import make_mesh
+from multimodal_organ_segmentation_tpu.train.trainer import Trainer
+from multimodal_organ_segmentation_tpu.utils.config import default_config
+
+# identical synthetic dataset per process (same seed, private dirs)
+root = out / "data"
+generate_synthetic_dataset(root, n_train=2, n_val=4, n_test=2,
+                           shape=(16, 16, 16), num_classes=4, seed=0)
+
+def cfg_for(case_shard):
+    cfg = default_config()
+    cfg.set("data.data_root", str(root))
+    cfg.set("model.name", "unet3d")
+    cfg.set("model.out_channels", 4)
+    cfg.set("model.backbone.features", [4, 8])
+    cfg.set("model.backbone.img_size", [16, 16, 16])
+    cfg.set("hardware.num_workers", 0)
+    cfg.set("hardware.mixed_precision", "none")
+    cfg.set("inference.sliding_window.roi_size", [16, 16, 16])
+    cfg.set("experiment.output_dir", str(out / "exp"))
+    if case_shard is not None:
+        cfg.set("evaluation.case_shard", case_shard)
+    return cfg
+
+# auto sharding on a GLOBAL mesh: each process scores 2 of the 4 val
+# cases on a LOCAL-mesh runner, then the metric states all-gather — the
+# returned metrics are full-cohort on BOTH processes
+cfg = cfg_for(None)
+t = Trainer(cfg, val_loader=get_dataloader(cfg, split="val"),
+            mesh=make_mesh(None))
+t.init_state(np.zeros((16, 16, 16, 2), np.float32))
+m = t.evaluate_native()
+assert m["num_cases"] == 4, m["num_cases"]
+assert len(m["per_case"]) == 4
+
+# unsharded meshless reference (same init seed -> same params)
+cfg2 = cfg_for(False)
+cfg2.set("inference.data_parallel", False)
+t2 = Trainer(cfg2, val_loader=get_dataloader(cfg2, split="val"), mesh=False)
+t2.init_state(np.zeros((16, 16, 16, 2), np.float32))
+m2 = t2.evaluate_native()
+assert m2["num_cases"] == 4
+assert abs(m["dice"] - m2["dice"]) < 1e-6, (m["dice"], m2["dice"])
+assert [r["case"] for r in m["per_case"]] == [r["case"] for r in m2["per_case"]]
+print(f"proc {pid} OK dice={m['dice']:.4f}")
+"""
+
+
+@pytest.mark.slow
+class TestTwoProcessCaseShardedEval:
+    def test_two_process_native_eval_merge(self, tmp_path):
+        """``evaluation.case_shard: auto`` across a REAL process boundary:
+        each process scores half the val cohort, the all-gathered metric
+        states reproduce the unsharded metrics and full per-case table on
+        both processes."""
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        addr = f"127.0.0.1:{port}"
+        script = tmp_path / "evalshard_worker.py"
+        script.write_text(_EVALSHARD_WORKER)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        repo = str(Path(__file__).resolve().parents[1])
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(i), "2", addr,
+                 str(tmp_path / f"w{i}")],
+                env=env,
+                cwd=repo,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.skip("2-process eval-shard smoke timed out on this host")
+            outs.append(out.decode())
+        if any(p.returncode != 0 for p in procs):
+            joined = "\n".join(outs)
+            if "UNAVAILABLE" in joined or "DEADLINE" in joined:
+                pytest.skip(f"distributed CPU runtime unavailable: {joined[-500:]}")
+            pytest.fail(f"2-process eval-shard smoke failed:\n{joined}")
+        assert all("OK" in o for o in outs)

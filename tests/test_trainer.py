@@ -969,3 +969,64 @@ class TestCaseShardedInference:
         t.config.set("inference.case_shard", [4, 4])
         with pytest.raises(ValueError):
             t._case_shard()
+
+
+class TestCaseShardedNativeEval:
+    """Cohort-sharded native-grid eval (evaluation.case_shard): each
+    worker scores a disjoint case subset; under a multi-process job the
+    streaming metric states merge back to full-cohort metrics."""
+
+    def _trainer(self, tiny_cfg, shard=None):
+        cfg = tiny_cfg.copy()
+        cfg.set("inference.sliding_window.roi_size", [16, 16, 16])
+        cfg.set("evaluation.lesion_metrics", True)
+        cfg.set("evaluation.calibration", True)
+        if shard is not None:
+            cfg.set("evaluation.case_shard", list(shard))
+        return Trainer(cfg, val_loader=get_dataloader(cfg, split="val"))
+
+    def test_explicit_shard_scores_partial_cohort(self, tiny_cfg):
+        m = self._trainer(tiny_cfg, (0, 2)).evaluate_native()
+        assert m["num_cases"] == 1
+        assert len(m["per_case"]) == 1
+
+    def test_merged_equals_unsharded(self, tiny_cfg, monkeypatch):
+        """Simulated 2-process run: the shards' payloads merged through the
+        allgather hook reproduce the unsharded metrics EXACTLY (float64
+        accumulators sum in the same order; JSON roundtrips float64)."""
+        import multimodal_organ_segmentation_tpu.parallel.multihost as mh
+
+        full = self._trainer(tiny_cfg).evaluate_native()
+        assert full["num_cases"] == 2
+
+        payloads = {}
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        for pid in (0, 1):
+            def capture(obj, pid=pid):
+                payloads[pid] = obj
+                return [obj]
+
+            monkeypatch.setattr(mh, "allgather_payloads", capture)
+            part = self._trainer(tiny_cfg, (pid, 2)).evaluate_native()
+            assert part["num_cases"] == 1
+        monkeypatch.setattr(
+            mh, "allgather_payloads", lambda obj: [payloads[0], payloads[1]]
+        )
+        merged = self._trainer(tiny_cfg, (0, 2)).evaluate_native()
+
+        assert merged["num_cases"] == 2
+        for k in (
+            "dice", "hd95", "surface_dice", "assd",
+            "lesion_f1", "lesion_tp", "lesion_fp", "lesion_fn", "ece",
+        ):
+            a, b = merged[k], full[k]
+            if a is None or (isinstance(a, float) and np.isnan(a)):
+                assert b is None or np.isnan(b), (k, a, b)
+            else:
+                assert abs(a - b) < 1e-9, (k, a, b)
+        np.testing.assert_allclose(
+            merged["dice_per_class"], full["dice_per_class"], rtol=0, atol=0
+        )
+        assert [r["case"] for r in merged["per_case"]] == [
+            r["case"] for r in full["per_case"]
+        ]
