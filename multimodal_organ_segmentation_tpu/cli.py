@@ -180,10 +180,15 @@ def run_eval(config, logger) -> None:
     from multimodal_organ_segmentation_tpu.utils.io import save_json
 
     out = config["_args"].get("output")
+    name = "eval_native.json" if native else "eval_metrics.json"
+    shard_val = config.get("evaluation.case_shard", "auto")
+    if native and isinstance(shard_val, (list, tuple)) and int(shard_val[1]) > 1:
+        # explicit [pid, nproc] = coordinator-less job array: every worker
+        # is process 0 and carries PARTIAL metrics — suffix the slot so
+        # workers on a shared filesystem don't clobber each other
+        name = f"eval_native.w{int(shard_val[0])}of{int(shard_val[1])}.json"
     metrics_path = (
-        Path(out) / "eval_metrics.json"
-        if out
-        else trainer.output_dir / ("eval_native.json" if native else "eval_metrics.json")
+        Path(out) / name if out else trainer.output_dir / name
     )
     metrics_path.parent.mkdir(parents=True, exist_ok=True)
     save_json(metrics, metrics_path)

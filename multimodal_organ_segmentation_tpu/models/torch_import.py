@@ -16,7 +16,7 @@ Weight layout conversions:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -99,6 +99,75 @@ def _bias_or_zeros(sd: Mapping[str, Any], key: str, n: int) -> np.ndarray:
     return _to_np(sd[key]) if key in sd else np.zeros((n,), np.float32)
 
 
+def _interp_linear_axis(a: np.ndarray, coords: np.ndarray, axis: int) -> np.ndarray:
+    """1-D linear interpolation of ``a`` at fractional ``coords`` along
+    ``axis`` (separable building block of the trilinear resample below)."""
+    i0 = np.clip(np.floor(coords).astype(np.int64), 0, a.shape[axis] - 1)
+    i1 = np.minimum(i0 + 1, a.shape[axis] - 1)
+    frac = coords - np.floor(coords)
+    shape = [1] * a.ndim
+    shape[axis] = -1
+    w = frac.reshape(shape)
+    return np.take(a, i0, axis) * (1.0 - w) + np.take(a, i1, axis) * w
+
+
+def resample_rel_pos_bias(
+    table: np.ndarray,
+    src_window: Tuple[int, int, int],
+    dst_window: Tuple[int, int, int],
+) -> np.ndarray:
+    """Window-size transfer for Swin relative-position-bias tables.
+
+    ``table`` is ``[(2sh-1)(2sw-1)(2sd-1), heads]`` — a per-head bias over
+    the 3-D relative-displacement grid ``[-(w-1), w-1]³``. Transferring a
+    checkpoint trained at one window size (MONAI's 7³ default,
+    /root/reference/src/models/backbones/swin_unetr.py:30-35) to another
+    (e.g. the 6³ perf window that divides every stage of a 96³ ROI with
+    zero padding) resamples that grid trilinearly with the displacement
+    axes scaled proportionally: target displacement ``d`` reads the source
+    at ``d · (ws-1)/(wt-1)`` — the Swin window-transfer technique
+    (bias-table interpolation over the normalized displacement grid).
+    Nothing else in a SwinUNETR checkpoint is window-shaped.
+    """
+    sh = tuple(2 * int(w) - 1 for w in src_window)
+    dh = tuple(2 * int(w) - 1 for w in dst_window)
+    heads = table.shape[-1]
+    if table.shape[0] != int(np.prod(sh)):
+        raise ValueError(
+            f"rel-pos-bias table has {table.shape[0]} rows; window "
+            f"{tuple(src_window)} implies {int(np.prod(sh))}"
+        )
+    if sh == dh:
+        return table
+    grid = np.asarray(table, np.float64).reshape(*sh, heads)
+    for axis in range(3):
+        s, d = src_window[axis], dst_window[axis]
+        if d > 1:
+            # displacement −(d−1)..(d−1) → source units, then +center offset
+            disp = np.arange(dh[axis], dtype=np.float64) - (d - 1)
+            coords = disp * (s - 1) / (d - 1) + (s - 1)
+        else:
+            coords = np.array([float(s - 1)])  # center (zero displacement)
+        grid = _interp_linear_axis(grid, coords, axis)
+    return np.ascontiguousarray(
+        grid.reshape(-1, heads).astype(table.dtype, copy=False)
+    )
+
+
+def _infer_cubic_window(table_rows: int) -> Tuple[int, int, int]:
+    """Source window of a checkpoint bias table, assuming cubic windows
+    (the only kind the reference ever constructs — MONAI default 7³)."""
+    side = round(table_rows ** (1.0 / 3.0))
+    for cand in (side - 1, side, side + 1):
+        if cand > 0 and cand % 2 == 1 and cand**3 == table_rows:
+            w = (cand + 1) // 2
+            return (w, w, w)
+    raise ValueError(
+        f"cannot infer a cubic source window from a {table_rows}-row "
+        "rel-pos-bias table; pass src_window explicitly"
+    )
+
+
 def _unetr_res_block(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
     """MONAI UnetResBlock (dynunet_block.py) → our _UnetrResBlock params.
 
@@ -124,7 +193,10 @@ def _unetr_res_block(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
 
 
 def from_torch_swin_unetr(
-    state_dict: Mapping[str, Any], depths=(2, 2, 2, 2)
+    state_dict: Mapping[str, Any],
+    depths=(2, 2, 2, 2),
+    target_window: Optional[Tuple[int, int, int]] = None,
+    src_window: Optional[Tuple[int, int, int]] = None,
 ) -> Dict[str, Any]:
     """MONAI SwinUNETR state_dict → our ``SwinUNETR(monai_compat=True)``
     params tree.
@@ -142,6 +214,14 @@ def from_torch_swin_unetr(
     orderings coincide (same (2w-1)³ factorization on both sides).
     Target the same ``merge_order`` the checkpoint was trained with
     (``"monai_v1"`` for MONAI's default ``downsample="merging"``).
+
+    ``target_window``: when the target config's ``window_size`` differs
+    from the checkpoint's, every relative-position-bias table is
+    trilinearly resampled onto the new displacement grid
+    (:func:`resample_rel_pos_bias`) — this is what lets a 7³-trained
+    reference checkpoint serve under the 6³ zero-padding perf window.
+    ``src_window`` is inferred from the table row count (cubic) unless
+    given.
     """
     sd = {}
     for k, v in state_dict.items():
@@ -160,13 +240,15 @@ def from_torch_swin_unetr(
         layer = f"swinViT.layers{s + 1}.0"
         for b in range(depths[s]):
             blk = f"{layer}.blocks.{b}"
+            table = _to_np(sd[f"{blk}.attn.relative_position_bias_table"])
+            if target_window is not None:
+                src = src_window or _infer_cubic_window(table.shape[0])
+                table = resample_rel_pos_bias(table, src, tuple(target_window))
             params[f"stage{s}_block{b}"] = {
                 "norm1": _layernorm(sd, f"{blk}.norm1"),
                 "attn": {
                     "qkv": _dense(sd, f"{blk}.attn.qkv"),
-                    "rel_pos_bias": _to_np(
-                        sd[f"{blk}.attn.relative_position_bias_table"]
-                    ),
+                    "rel_pos_bias": table,
                     "proj": _dense(sd, f"{blk}.attn.proj"),
                 },
                 "norm2": _layernorm(sd, f"{blk}.norm2"),
@@ -310,7 +392,12 @@ def import_torch_checkpoint(path, config) -> Dict[str, Any]:
                 "constructor-window bias tables)"
             )
         params = from_torch_swin_unetr(
-            sd, depths=tuple(backbone.get("depths", [2, 2, 2, 2]))
+            sd,
+            depths=tuple(backbone.get("depths", [2, 2, 2, 2])),
+            # resample bias tables when the target window differs from the
+            # checkpoint's (no-op when they match) — unlocks the 6³ perf
+            # window for 7³-trained reference checkpoints
+            target_window=tuple(backbone.get("window_size", [7, 7, 7])),
         )
     elif name == "dual_encoder":
         fusion = config.get("model.fusion", {}) or {}

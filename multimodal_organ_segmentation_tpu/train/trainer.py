@@ -62,6 +62,24 @@ from multimodal_organ_segmentation_tpu.utils.io import ensure_dir, save_nifti
 from multimodal_organ_segmentation_tpu.utils.prng import KeyStream
 
 
+class CaseShard(Tuple[int, int]):
+    """``(pid, nproc)`` cohort shard plus how it was derived.
+
+    Subclasses tuple so existing ``pid, nproc = shard`` unpacking and
+    ``shard[0]`` indexing keep working; ``auto`` distinguishes shards
+    derived from the jax.distributed topology (full-cohort results are
+    merged across processes) from explicit ``[pid, nproc]`` config values
+    (independent workers, per-worker PARTIAL results, never merged).
+    """
+
+    auto: bool
+
+    def __new__(cls, pid: int, nproc: int, auto: bool):
+        self = super().__new__(cls, (int(pid), int(nproc)))
+        self.auto = bool(auto)
+        return self
+
+
 @struct.dataclass
 class TrainState:
     step: jax.Array
@@ -399,20 +417,38 @@ class Trainer:
           (/root/reference/src/trainer/trainer.py:303-395 is a serial
           per-case loop on one GPU).
         - ``false`` — every process predicts every case.
+
+        Returns a :class:`CaseShard` ``(pid, nproc, auto)`` or None. The
+        ``auto`` flag records HOW the shard was derived: explicit
+        ``[pid, nproc]`` shards describe independent workers whose
+        results stay per-worker PARTIAL (no cross-process merge —
+        merging would double-count when every process of a
+        jax.distributed job reads the same explicit slot).
         """
         val = self.config.get(key, "auto")
         if isinstance(val, (list, tuple)):
             pid, nproc = int(val[0]), int(val[1])
             if not 0 <= pid < nproc:
-                raise ValueError(f"bad inference.case_shard {list(val)!r}")
-            return (pid, nproc) if nproc > 1 else None
+                raise ValueError(f"bad {key} {list(val)!r}")
+            return CaseShard(pid, nproc, auto=False) if nproc > 1 else None
         if isinstance(val, bool):
             if not val:
                 return None
-        elif str(val).lower() in ("false", "off", "none", "0"):
-            return None
+        else:
+            s = str(val).lower()
+            if s in ("false", "off", "none", "no", "0", ""):
+                return None
+            if s not in ("auto", "true", "on", "1"):
+                # a typo must not silently drop cases from what the user
+                # believed was an unsharded (or differently-sharded) run
+                raise ValueError(
+                    f"{key}={val!r}: expected 'auto', a [pid, nproc] "
+                    "pair, or a falsy value"
+                )
         nproc = jax.process_count()
-        return (jax.process_index(), nproc) if nproc > 1 else None
+        if nproc > 1:
+            return CaseShard(jax.process_index(), nproc, auto=True)
+        return None
 
     def _local_data_mesh(self):
         """A data-axis mesh over THIS process's devices only — used when
@@ -1137,9 +1173,14 @@ class Trainer:
         # streaming metric states are merged across processes afterwards —
         # instead of every host redundantly scoring the full val set
         shard = self._case_shard("evaluation.case_shard")
-        merge_across = shard is not None and jax.process_count() > 1
+        multiproc = shard is not None and jax.process_count() > 1
+        # full-cohort merge only for AUTO shards — an explicit [pid,nproc]
+        # read identically by every process of a jax.distributed job would
+        # double-count every case if merged (documented semantics: explicit
+        # shards return per-worker PARTIAL metrics)
+        merge_across = multiproc and shard.auto
         dp_mesh = self._inference_mesh()
-        if merge_across and dp_mesh is not None:
+        if multiproc and dp_mesh is not None:
             # per-process case lists (and volume shapes) diverge — a global
             # mesh would deadlock on its collectives; tile-parallelism
             # stays within the host
@@ -1156,7 +1197,7 @@ class Trainer:
 
         members = self._inference_members()
         self.freeze_for_inference()  # moments off-chip before tile chunks
-        if merge_across:
+        if multiproc:
             # params may live on the GLOBAL mesh; the local program
             # rejects global-device arrays (see predict)
             members = [
@@ -1490,15 +1531,18 @@ class Trainer:
         # static-grid program.
         use_bucket = bool(self.config.get("inference.shape_bucketing", True))
         dp_mesh = self._inference_mesh()
-        if shard is not None and jax.process_count() > 1 and dp_mesh is not None:
-            # per-process case lists diverge — a global mesh would hang on
-            # cross-host collectives; keep tile-parallelism within the host
-            dp_mesh = self._local_data_mesh()
+        if shard is not None and jax.process_count() > 1:
+            if dp_mesh is not None:
+                # per-process case lists diverge — a global mesh would hang
+                # on cross-host collectives; keep tile-parallelism within
+                # the host
+                dp_mesh = self._local_data_mesh()
             # params may live on the GLOBAL mesh (init/restore under the
-            # trainer mesh); the local program rejects global-device
-            # arrays. Inference params are fully replicated, so every
-            # shard is addressable here — pull to host and let the local
-            # jit re-commit them (once per cohort, not per case).
+            # trainer mesh); the per-process-divergent program (local-mesh
+            # OR meshless when inference.data_parallel is off) rejects
+            # global-device arrays. Inference params are fully replicated,
+            # so every shard is addressable here — pull to host and let
+            # the local jit re-commit them (once per cohort, not per case).
             member_vars = [
                 jax.tree_util.tree_map(
                     lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,

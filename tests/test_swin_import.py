@@ -245,3 +245,174 @@ class TestEndToEndDiceParity:
         t_dice = _mean_foreground_dice(t_pred, labels, OUT_CH)
         j_dice = _mean_foreground_dice(j_pred, labels, OUT_CH)
         assert abs(t_dice - j_dice) <= 0.005, (t_dice, j_dice)
+
+
+# ---------------------------------------------------------------------------
+# window-size transfer (VERDICT r3 #1): rel-pos-bias table resampling lets a
+# checkpoint trained at one window (MONAI's 7³ default,
+# /root/reference/src/models/backbones/swin_unetr.py:30-35) serve under a
+# different window (the zero-padding perf configs) without quality loss.
+# ---------------------------------------------------------------------------
+
+from multimodal_organ_segmentation_tpu.models.torch_import import (
+    _infer_cubic_window,
+    resample_rel_pos_bias,
+)
+
+
+class TestBiasTableResample:
+    def test_identity_when_windows_match(self):
+        t = np.random.default_rng(0).normal(size=(5 * 5 * 5, 3)).astype(np.float32)
+        out = resample_rel_pos_bias(t, (3, 3, 3), (3, 3, 3))
+        np.testing.assert_array_equal(out, t)
+
+    def test_shapes_7_to_6(self):
+        t = np.zeros((13 * 13 * 13, 4), np.float32)
+        out = resample_rel_pos_bias(t, (7, 7, 7), (6, 6, 6))
+        assert out.shape == (11 * 11 * 11, 4)
+
+    def test_linear_fields_are_exact(self):
+        """Trilinear interpolation reproduces any bias that is linear in the
+        displacement vector EXACTLY — and proportional axis scaling maps
+        displacement d to d·(ws-1)/(wt-1)."""
+        ws, wt = (7, 7, 7), (6, 6, 6)
+        sh = [2 * w - 1 for w in ws]
+        dh, dw, dd = np.meshgrid(
+            *[np.arange(s) - (w - 1) for s, w in zip(sh, ws)], indexing="ij"
+        )
+        # bias(d) = 2dh - 3dw + 0.5dd + 1  per head (head 1 scaled)
+        lin = 2.0 * dh - 3.0 * dw + 0.5 * dd + 1.0
+        table = np.stack([lin.ravel(), 2 * lin.ravel()], axis=-1)
+        out = resample_rel_pos_bias(table, ws, wt)
+        th = [2 * w - 1 for w in wt]
+        gh, gw, gd = np.meshgrid(
+            *[np.arange(s) - (w - 1) for s, w in zip(th, wt)], indexing="ij"
+        )
+        scale = (ws[0] - 1) / (wt[0] - 1)
+        want = 2.0 * gh * scale - 3.0 * gw * scale + 0.5 * gd * scale + 1.0
+        np.testing.assert_allclose(out[:, 0].reshape(th), want, atol=1e-9)
+        np.testing.assert_allclose(out[:, 1].reshape(th), 2 * want, atol=1e-9)
+
+    def test_center_row_preserved(self):
+        """Zero displacement maps to zero displacement: the center entry of
+        the source grid survives any window change bit-for-bit (within
+        float interp error)."""
+        rng = np.random.default_rng(1)
+        ws, wt = (4, 4, 4), (3, 3, 3)
+        sh = [2 * w - 1 for w in ws]
+        table = rng.normal(size=(int(np.prod(sh)), 2)).astype(np.float64)
+        out = resample_rel_pos_bias(table, ws, wt)
+        th = [2 * w - 1 for w in wt]
+        src_center = (np.ravel_multi_index([w - 1 for w in ws], sh),)
+        dst_center = (np.ravel_multi_index([w - 1 for w in wt], th),)
+        np.testing.assert_allclose(out[dst_center], table[src_center], atol=1e-12)
+
+    def test_infer_cubic_window(self):
+        assert _infer_cubic_window(13**3) == (7, 7, 7)
+        assert _infer_cubic_window(11**3) == (6, 6, 6)
+        assert _infer_cubic_window(5**3) == (3, 3, 3)
+        with pytest.raises(ValueError):
+            _infer_cubic_window(100)
+
+
+class TestWindowTransferServing:
+    def test_imported_checkpoint_serves_at_smaller_window(self):
+        """A replica-trained checkpoint imported at its native window vs
+        imported with bias-table resampling onto a smaller window: both
+        flax serving paths must reach the same cohort Dice within 0.5%
+        (the SURVEY §6 bar). Mirrors the production 7³→6³ transfer at
+        CPU-tractable scale (4³→3³: same odd→even structure). Recipe
+        calibrated offline (r4): feature_size 8 + weighted CE + soft Dice
+        + cosine decay reaches Dice ≈0.98 by step ~100 on the
+        high-contrast phantom; FS=4 or low-contrast collapses to
+        background."""
+        src_w, dst_w = (4, 4, 4), (3, 3, 3)
+        depths = (1, 1, 1, 1)
+        fs = 8
+        torch.manual_seed(5)
+        tmodel = MonaiSwinUNETR(
+            in_channels=IN_CH,
+            out_channels=OUT_CH,
+            feature_size=fs,
+            depths=depths,
+            num_heads=HEADS,
+            window_size=src_w,
+            merge_order="monai_v1",
+        )
+        # high-contrast variant of the phantom (unit intensity step per
+        # class, σ=0.05 noise) — learnable in ~100 single-sample steps
+        _, labels = _synthetic_volume()
+        rng = np.random.default_rng(7)
+        shape = labels.shape
+        ct = labels.astype(np.float32)[..., None] + rng.normal(
+            size=(*shape, 1)
+        ).astype(np.float32) * 0.05
+        pet = (labels == 2).astype(np.float32)[..., None] * 2.0 + rng.normal(
+            size=(*shape, 1)
+        ).astype(np.float32) * 0.05
+        vol = np.concatenate([ct, pet], axis=-1)
+
+        def soft_dice(logits, y):
+            p = torch.softmax(logits, 1)
+            oh = (
+                torch.nn.functional.one_hot(y, OUT_CH)
+                .permute(0, 4, 1, 2, 3)
+                .float()
+            )
+            inter = (p * oh).sum(dim=(2, 3, 4))
+            denom = p.sum(dim=(2, 3, 4)) + oh.sum(dim=(2, 3, 4))
+            return 1 - ((2 * inter + 1e-5) / (denom + 1e-5)).mean()
+
+        n_steps = 110
+        opt = torch.optim.Adam(tmodel.parameters(), lr=3e-3)
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=n_steps)
+        cls_w = torch.tensor([0.1, 1.0, 1.0, 1.0])
+        tmodel.train()
+        for i in range(n_steps):
+            h0 = (0, 32)[i % 2]  # alternate halves → all 3 organs seen
+            x = torch.from_numpy(
+                np.transpose(vol[h0 : h0 + 64][None], (0, 4, 1, 2, 3))
+            )
+            y = torch.from_numpy(labels[h0 : h0 + 64][None].astype(np.int64))
+            opt.zero_grad()
+            out = tmodel(x)
+            loss = torch.nn.functional.cross_entropy(
+                out, y, weight=cls_w
+            ) + soft_dice(out, y)
+            loss.backward()
+            opt.step()
+            sched.step()
+        tmodel.eval()
+
+        def _serve(window):
+            jmodel = SwinUNETR(
+                out_channels=OUT_CH,
+                feature_size=fs,
+                depths=depths,
+                num_heads=HEADS,
+                window_size=window,
+                use_fused=False,
+                monai_compat=True,
+                merge_order="monai_v1",
+            )
+            params = from_torch_swin_unetr(
+                tmodel.state_dict(), depths=depths, target_window=window
+            )
+            logits = np.asarray(
+                sliding_window_inference(
+                    jnp.asarray(vol),
+                    lambda v, p: jmodel.apply(v, p, train=False),
+                    roi_size=(64, 64, 64),
+                    num_classes=OUT_CH,
+                    overlap=0.5,
+                    sw_batch_size=4,
+                    mode="gaussian",
+                    params={"params": params},
+                )
+            )
+            return _mean_foreground_dice(logits.argmax(-1), labels, OUT_CH)
+
+        d_src = _serve(src_w)
+        d_dst = _serve(dst_w)
+        assert d_src >= 0.90, f"training failed to converge (dice {d_src})"
+        assert abs(d_src - d_dst) <= 0.005, (d_src, d_dst)
