@@ -240,7 +240,9 @@ def _encode_value(vr: str, value: Any) -> bytes:
         vals = value if isinstance(value, (list, tuple)) else [value]
         data = "\\".join(str(v) for v in vals).encode("ascii")
     if len(data) % 2:
-        data += b" "
+        # PS3.5 §6.2: UI values pad to even length with NUL, string VRs
+        # with space (caught by the spec-built golden writer test)
+        data += b"\x00" if vr == "UI" else b" "
     return data
 
 

@@ -176,7 +176,12 @@ def load(path) -> NiftiImage:
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=offset)
     data = data.reshape(shape, order="F")
 
-    header = NiftiHeader(shape, dtype, affine, zooms, scl_slope or 1.0, scl_inter)
+    # nifti1.h: "If scl_slope = 0, the scaling is to be ignored" — BOTH
+    # slope and intercept (found by the spec-built golden fixture; keeping
+    # the intercept would offset every voxel of such files)
+    if scl_slope == 0.0:
+        scl_slope, scl_inter = 1.0, 0.0
+    header = NiftiHeader(shape, dtype, affine, zooms, scl_slope, scl_inter)
     return NiftiImage(data, affine, header)
 
 
