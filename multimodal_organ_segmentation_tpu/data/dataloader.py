@@ -126,17 +126,29 @@ class DataLoader:
     ) -> Iterator[Dict[str, Any]]:
         """Iterate a specific epoch's (deterministic) batch order, skipping
         the first ``skip_batches`` at the index level (no wasted loading)."""
-        return self._iterate(self._index_batches(epoch)[skip_batches:])
+        return self._iterate(self._index_batches(epoch)[skip_batches:], epoch)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         self._epoch += 1
-        return self._iterate(self._index_batches(self._epoch))
+        return self._iterate(self._index_batches(self._epoch), self._epoch)
 
-    def _iterate(self, batches: List[np.ndarray]) -> Iterator[Dict[str, Any]]:
+    def _fetch(self, idx: int, epoch: Optional[int]):
+        # Route the epoch to Dataset.get_sample so random transforms draw
+        # their PRNG key from the stateless (seed, epoch, idx) triple —
+        # a resumed (or multi-host sibling) run then reproduces the exact
+        # augmentation stream of the uninterrupted one.
+        get = getattr(self.dataset, "get_sample", None)
+        if get is not None and epoch is not None:
+            return get(int(idx), epoch=int(epoch))
+        return self.dataset[int(idx)]
+
+    def _iterate(
+        self, batches: List[np.ndarray], epoch: Optional[int] = None
+    ) -> Iterator[Dict[str, Any]]:
 
         if self.num_workers == 0:
             for b in batches:
-                yield self.collate([self.dataset[int(i)] for i in b])
+                yield self.collate([self._fetch(int(i), epoch) for i in b])
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -161,7 +173,10 @@ class DataLoader:
                         if stop.is_set():
                             return
                         samples = list(
-                            pool.map(self.dataset.__getitem__, [int(i) for i in b])
+                            pool.map(
+                                lambda i: self._fetch(i, epoch),
+                                [int(i) for i in b],
+                            )
                         )
                         if not _put(self.collate(samples)):
                             return

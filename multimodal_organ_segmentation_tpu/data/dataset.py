@@ -139,11 +139,21 @@ class MultiModalDataset:
         except Exception:
             pass
 
-    def __getitem__(self, idx: int) -> Dict[str, Any]:
+    def get_sample(self, idx: int, epoch: Optional[int] = None) -> Dict[str, Any]:
+        """Fetch + transform; with ``epoch`` given, transform randomness is
+        the stateless (seed, epoch, idx) key (resume/multi-host stable)."""
         sample = self.load_raw(idx)
         if self.transform is not None:
-            sample = self.transform(sample)
+            if epoch is not None and hasattr(self.transform, "key_for"):
+                sample = self.transform(
+                    sample, key=self.transform.key_for(epoch, idx)
+                )
+            else:
+                sample = self.transform(sample)
         return sample
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        return self.get_sample(idx)
 
 
 class InferenceDataset:

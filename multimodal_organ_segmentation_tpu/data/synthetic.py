@@ -79,6 +79,7 @@ def generate_synthetic_dataset(
     modalities: Sequence[str] = ("CT", "PET"),
     seed: int = 0,
     spacing: Tuple[float, float, float] = (1.5, 1.5, 2.0),
+    noise: float = 10.0,
 ) -> Dict[str, str]:
     """Write a CSV-driven NIfTI dataset under ``root``.
 
@@ -99,7 +100,7 @@ def generate_synthetic_dataset(
         for i in range(n):
             pid = f"{split}_{i:03d}"
             pdir = ensure_dir(root / split / pid)
-            image, label = synthetic_volume(shape, num_classes, rng, modalities)
+            image, label = synthetic_volume(shape, num_classes, rng, modalities, noise=noise)
             row = {"patient_id": pid}
             for c, mod in enumerate(modalities):
                 p = pdir / f"{mod.lower()}.nii.gz"

@@ -550,6 +550,19 @@ class TransformPipeline:
             i = next(self._counter)
         return jax.random.fold_in(self._base_key, i)
 
+    def key_for(self, epoch: int, idx: int) -> jax.Array:
+        """Deterministic key for sample ``idx`` of epoch ``epoch``.
+
+        Stateless — unlike the fallback counter, a preempted-and-resumed
+        run (or a second process of a multi-host job) derives the exact
+        same augmentation/patch-sampling randomness for every (epoch,
+        sample) pair, which is what makes step-granular resume bit-exact
+        even with random transforms enabled. The DataLoader routes epoch
+        context here via ``Dataset.get_sample``."""
+        return jax.random.fold_in(
+            jax.random.fold_in(self._base_key, 0x5EED ^ int(epoch)), int(idx)
+        )
+
     def __call__(self, sample: Sample, key: Optional[jax.Array] = None) -> Sample:
         if key is None:
             key = self._next_key()
