@@ -72,6 +72,95 @@ class AttentionVisualizer:
         lo, hi = vol.min(), vol.max()
         return (vol - lo) / (hi - lo + 1e-8)
 
+    # ---- native-grid saliency through the sliding window ----
+
+    def _tile_saliency(self, params, patches, max_layers: int) -> jax.Array:
+        """Per-tile attention saliency volumes [n, rh, rw, rd, L].
+
+        Mirrors :meth:`spatial_map` per tile — per-window attention-received
+        saliency arranged on the window grid, trilinearly resized to the
+        tile grid — but UNnormalized so all tiles share one global minmax
+        after Gaussian blending (normalizing per tile would seam).
+        """
+        n = patches.shape[0]
+        roi = patches.shape[1:4]
+        _, state = self.model.apply(
+            {"params": params}, patches, train=False, mutable=["intermediates"]
+        )
+        flat = jax.tree_util.tree_flatten_with_path(state["intermediates"])[0]
+        vols = []
+        for path, attn in flat:
+            if len(vols) >= max_layers:
+                break
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if "attn_probs" not in name or attn.ndim != 4:
+                continue
+            nw = attn.shape[0] // n
+            side = round(nw ** (1 / 3))
+            if side**3 != nw:
+                continue
+            # [n·nW, h, N, N] → attention received per token → per window
+            sal = attn.astype(jnp.float32).mean(axis=(1, 2))  # [n·nW, N]
+            per_window = sal.mean(axis=1).reshape(n, side, side, side)
+            vols.append(resize_linear(per_window, roi, spatial_axes=(1, 2, 3)))
+        if not vols:
+            raise ValueError("no cube-grid attn_probs tensors to fold")
+        return jnp.stack(vols, axis=-1)  # [n, rh, rw, rd, L]
+
+    def saliency_native(
+        self,
+        volume,
+        *,
+        roi_size: Tuple[int, int, int],
+        overlap: float = 0.5,
+        sw_batch_size: int = 4,
+        mode: str = "gaussian",
+        max_layers: int = 4,
+    ) -> List[np.ndarray]:
+        """Native-grid attention saliency volumes via sliding-window
+        blending (same tile grid + Gaussian map as logits inference).
+        Returns up to ``max_layers`` minmax-normalized ``[H, W, D]`` maps.
+        """
+        from functools import partial
+
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            sliding_window_inference,
+        )
+
+        cache = getattr(self, "_tile_fn_cache", None)
+        if cache is None:
+            cache = self._tile_fn_cache = {}
+        tile_fn = cache.get(max_layers)
+        if tile_fn is None:
+            tile_fn = cache[max_layers] = partial(
+                self._tile_saliency, max_layers=max_layers
+            )
+
+        # count foldable layers with one abstract trace (no FLOPs)
+        probe = jax.eval_shape(
+            lambda p, x: tile_fn(p, x),
+            self.variables["params"],
+            jax.ShapeDtypeStruct((1, *roi_size, int(np.asarray(volume).shape[-1])), jnp.float32),
+        )
+        n_layers = probe.shape[-1]
+
+        blended = sliding_window_inference(
+            jnp.asarray(volume),
+            tile_fn,
+            roi_size=tuple(roi_size),
+            num_classes=n_layers,
+            overlap=overlap,
+            sw_batch_size=sw_batch_size,
+            mode=mode,
+            params=self.variables["params"],
+        )
+        out = []
+        for li in range(n_layers):
+            v = blended[..., li]
+            lo, hi = jnp.min(v), jnp.max(v)
+            out.append(np.asarray((v - lo) / (hi - lo + 1e-8)))
+        return out
+
     def visualize(
         self,
         x,

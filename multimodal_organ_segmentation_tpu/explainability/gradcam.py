@@ -10,6 +10,7 @@ GradCAM++: α = g² / (2g² + ΣA·g³), w = Σ α·ReLU(g) (gradcam.py:148-247)
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -118,6 +119,128 @@ class GradCAM:
 
     def _weights_from(self, grad: jax.Array, act: jax.Array) -> jax.Array:
         return self._weights(grad.astype(jnp.float32))
+
+    # ---- native-grid CAM through the sliding window ----
+
+    def _tile_cams(self, params, patches, class_idx: int) -> jax.Array:
+        """Per-tile UNnormalized CAMs for every target layer.
+
+        ``patches`` [n, rh, rw, rd, C] → [n, rh, rw, rd, L]. Normalization
+        must NOT happen here: tiles share one global minmax after blending,
+        exactly like logits share one argmax. The per-tile score is the
+        reference's ``max`` over the tile's class logit (gradcam.py:101-106)
+        summed over tiles — each tile's activations only touch its own
+        score, so the batched perturbation grad is the per-tile grad.
+        """
+        n = patches.shape[0]
+        # batch-n zero perturbations (the stored ones were init'd at B=1;
+        # perturbation tensors are batch-leading zeros_like(activation))
+        perts_n = jax.tree_util.tree_map(
+            lambda p: jnp.zeros((n,) + p.shape[1:], p.dtype), self.perturbations
+        )
+
+        logits, feats = self.model.apply(
+            {"params": params}, patches, train=False, capture=True
+        )
+        acts = {}
+        if isinstance(feats, dict):
+            for i, f in enumerate(feats.get("fused_features", [])):
+                acts[f"fused{i}"] = f
+        else:
+            for i, f in enumerate(feats):
+                acts[f"feat{i}"] = f
+                acts[f"stage{i}"] = f
+
+        def score_fn(perts):
+            out = self.model.apply(
+                {"params": params, "perturbations": perts},
+                patches, train=False,
+            )
+            lg = out[0] if isinstance(out, (tuple, list)) else out
+            return jnp.sum(jnp.max(lg[..., class_idx], axis=(1, 2, 3)))
+
+        grad_tree = jax.grad(score_fn)(perts_n)
+        flat = jax.tree_util.tree_flatten_with_path(grad_tree)[0]
+        grads = {
+            "/".join(str(getattr(k, "key", k)) for k in path): g
+            for path, g in flat
+        }
+
+        roi = patches.shape[1:4]
+        cams = []
+        for target in self.target_layers:
+            gname = next((nm for nm in grads if target in nm or nm in target), None)
+            short = target.split("/")[-1]
+            act = acts.get(short, acts.get(target))
+            if gname is None or act is None:
+                raise ValueError(
+                    f"target layer {target!r} not found among activations "
+                    f"{sorted(acts)} / grads {sorted(grads)}"
+                )
+            w = self._weights_from(grads[gname], act)  # [n, C]
+            cam = jnp.einsum("bhwdc,bc->bhwd", act.astype(jnp.float32), w)
+            cam = jnp.maximum(cam, 0.0)
+            cam = resize_linear(cam, roi, spatial_axes=(1, 2, 3))
+            cams.append(cam)
+        return jnp.stack(cams, axis=-1)  # [n, rh, rw, rd, L]
+
+    def generate_native(
+        self,
+        volume,
+        class_idx: int = 1,
+        *,
+        roi_size: Tuple[int, int, int],
+        overlap: float = 0.5,
+        sw_batch_size: int = 4,
+        mode: str = "gaussian",
+    ) -> Dict[str, np.ndarray]:
+        """CAMs on the NATIVE volume grid via sliding-window blending.
+
+        Tiles the volume exactly like logits inference (same grid, same
+        Gaussian importance map — ops/sliding_window.py), computes each
+        tile's unnormalized CAM, blends, then minmax-normalizes globally.
+        On a volume ≤ roi_size this reduces to one tile and equals
+        :meth:`generate` on the (padded) whole volume. Reference semantics
+        preserved per tile: src/explainability/gradcam.py:109-145.
+
+        Args:
+            volume: ``[H, W, D, C]`` native-grid multi-channel image.
+        Returns:
+            {target_layer: [H, W, D] normalized cam} on the native grid.
+        """
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            sliding_window_inference,
+        )
+
+        # cache the per-class tile fn: sliding_window_inference treats
+        # predict_fn as a static jit arg (hashed by identity for partials),
+        # so a fresh partial per call would recompile per case
+        cache = getattr(self, "_tile_fn_cache", None)
+        if cache is None:
+            cache = self._tile_fn_cache = {}
+        tile_fn = cache.get(class_idx)
+        if tile_fn is None:
+            tile_fn = cache[class_idx] = partial(
+                self._tile_cams, class_idx=class_idx
+            )
+
+        n_layers = len(self.target_layers)
+        blended = sliding_window_inference(
+            jnp.asarray(volume),
+            tile_fn,
+            roi_size=tuple(roi_size),
+            num_classes=n_layers,
+            overlap=overlap,
+            sw_batch_size=sw_batch_size,
+            mode=mode,
+            params=self.params,
+        )  # [H, W, D, L]
+        out = {}
+        for li, target in enumerate(self.target_layers):
+            cam = blended[..., li]
+            lo, hi = jnp.min(cam), jnp.max(cam)
+            out[target] = np.asarray((cam - lo) / (hi - lo + 1e-8))
+        return out
 
 
 class GradCAMPlusPlus(GradCAM):

@@ -77,6 +77,15 @@ def run_explainability(config, checkpoint, input_path, output_path, logger=None)
     if logger:
         logger.info(f"Explainability over {len(cases)} cases")
 
+    # native_grid: maps on the NATIVE volume grid through the sliding
+    # window (per-tile cam/saliency, Gaussian-blended like logits) instead
+    # of the reference's resize-whole-volume-to-ROI behavior
+    # (src/explainability/gradcam.py:109-145 resizes cam to the resized
+    # input, never back to the scanner grid).
+    native = bool(cfg.get("explainability.native_grid", False))
+    sw_overlap = float(cfg.get("inference.sliding_window.overlap", 0.5))
+    sw_batch = int(cfg.get("inference.batch_size", 4))
+
     written: Dict[str, List[str]] = {"gradcam": [], "attention": [], "shap": []}
     samples = []
     for case, mods in cases.items():
@@ -100,11 +109,19 @@ def run_explainability(config, checkpoint, input_path, output_path, logger=None)
             pert_names = _perturb_names(variables)
             targets = [pert_names[-1]] if pert_names else []
             if targets:
-                cam = GradCAM(model, variables, targets).generate(x, class_idx=1)
+                cam_gen = GradCAM(model, variables, targets)
+                if native:
+                    cam = cam_gen.generate_native(
+                        image, class_idx=1, roi_size=roi,
+                        overlap=sw_overlap, sw_batch_size=sw_batch,
+                    )
+                else:
+                    cam = cam_gen.generate(x, class_idx=1)
+                cam_image = image if native else image_r
                 for layer, vol in cam.items():
                     safe = layer.replace("/", "_")
                     out = output_path / f"{case}_gradcam_{safe}.png"
-                    visualize_gradcam(image_r, vol, out)
+                    visualize_gradcam(cam_image, vol, out)
                     save_nifti(vol, output_path / f"{case}_gradcam_{safe}.nii.gz")
                     written["gradcam"].append(str(out))
 
@@ -114,6 +131,18 @@ def run_explainability(config, checkpoint, input_path, output_path, logger=None)
             )
 
             viz = AttentionVisualizer(model, variables)
+            if native:
+                try:
+                    sals = viz.saliency_native(
+                        image, roi_size=roi,
+                        overlap=sw_overlap, sw_batch_size=sw_batch,
+                    )
+                except ValueError:
+                    sals = []  # model has no cube-grid attn tensors
+                for li, sal in enumerate(sals):
+                    p = output_path / f"{case}_attention_native_{li}.nii.gz"
+                    save_nifti(sal, p)
+                    written["attention"].append(str(p))
             written["attention"].extend(viz.visualize(x, output_path / f"{case}_attention"))
 
         if bool(cfg.get("explainability.shap.enabled", False)):

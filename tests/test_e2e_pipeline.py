@@ -263,3 +263,29 @@ class TestFullPipeline:
                   "--output", str(workdir / "explain")])
         out = list((workdir / "explain").glob("*gradcam*.png"))
         assert out, "gradcam figure not written"
+
+    def test_6b_explain_native_grid(self, workdir, monkeypatch):
+        """explainability.native_grid: true → cam/saliency NIfTIs on the
+        NATIVE volume grid (32³ here) via sliding-window blending, not the
+        reference's resized-to-ROI grid (src/explainability/gradcam.py:109-145)."""
+        import yaml
+
+        monkeypatch.chdir(workdir)
+        with open(workdir / "cfg.yaml") as f:
+            raw = yaml.safe_load(f)
+        raw.setdefault("explainability", {})["native_grid"] = True
+        with open(workdir / "cfg_explain_native.yaml", "w") as f:
+            yaml.safe_dump(raw, f)
+
+        outdir = workdir / "explain_native"
+        cli.main(["--mode", "explain", "--config",
+                  str(workdir / "cfg_explain_native.yaml"),
+                  "--device", "cpu",
+                  "--checkpoint", str(workdir / "outputs" / "tiny_cpu" / "best"),
+                  "--input", str(workdir / "infer_in"),
+                  "--output", str(outdir)])
+        cams = list(outdir.glob("*gradcam*.nii.gz"))
+        assert cams, "native-grid gradcam NIfTI not written"
+        vol = load_nifti(cams[0])
+        assert vol.shape == (32, 32, 32), "cam not on the native grid"
+        assert np.all(np.isfinite(vol))

@@ -118,6 +118,55 @@ class TestAttention:
             assert Path(f).exists()
 
 
+class TestNativeGrid:
+    """Native-resolution maps through the sliding window (VERDICT r3 #7)."""
+
+    def test_gradcam_single_tile_equals_whole_volume(self, unet_setup):
+        """On a volume ≤ ROI the tile-blended cam must equal generate()
+        on the whole volume — one tile, Gaussian weights normalize out."""
+        model, variables, x = unet_setup
+        g = GradCAM(model, variables, ["feat1"])
+        whole = g.generate(x, class_idx=1)
+        native = g.generate_native(
+            np.asarray(x[0]), class_idx=1, roi_size=(8, 8, 8)
+        )
+        np.testing.assert_allclose(
+            native["feat1"], whole["feat1"], atol=1e-5
+        )
+
+    def test_gradcam_native_multitile(self, unet_setup):
+        """Volume larger than ROI: cam comes back on the NATIVE grid,
+        globally minmax-normalized, finite everywhere."""
+        model, variables, _ = unet_setup
+        g = GradCAM(model, variables, ["feat1"])
+        vol = np.random.default_rng(1).normal(size=(12, 12, 8, 2)).astype(np.float32)
+        cam = g.generate_native(
+            vol, class_idx=1, roi_size=(8, 8, 8), overlap=0.5, sw_batch_size=2
+        )["feat1"]
+        assert cam.shape == (12, 12, 8)
+        assert np.all(np.isfinite(cam))
+        assert cam.min() >= 0 and cam.max() <= 1.0 + 1e-6
+        # global normalization: extremes actually reached (not per-tile flat)
+        assert cam.max() > 0.99
+
+    def test_attention_saliency_native(self):
+        model = SwinUNETR(
+            out_channels=2, feature_size=4, depths=(1, 1, 1, 1),
+            num_heads=(1, 1, 1, 1), window_size=(2, 2, 2),
+        )
+        x = np.random.default_rng(2).normal(size=(32, 32, 32, 1)).astype(np.float32)
+        variables = model.init(
+            jax.random.key(0), jnp.asarray(x)[None], train=False
+        )
+        viz = AttentionVisualizer(model, variables)
+        sals = viz.saliency_native(x, roi_size=(32, 32, 32), sw_batch_size=1)
+        assert len(sals) == 4  # one per stage
+        for s in sals:
+            assert s.shape == (32, 32, 32)
+            assert np.all(np.isfinite(s))
+            assert s.min() >= 0 and s.max() <= 1.0 + 1e-6
+
+
 class TestSHAP:
     def test_gradient_shap(self, unet_setup):
         model, variables, x = unet_setup
