@@ -40,7 +40,12 @@ def tune_serving(
 
         tune:
           sw_batches: [4, 8, 12, 16]   # tile-chunk candidates
-          overlaps: [0.5]              # window-overlap candidates
+          overlaps: [0.5, 0.25, 0.125] # window-overlap candidates (default:
+                                       # the config's overlap + the measured
+                                       # fast profiles 0.25 / 0.125 — see
+                                       # configs/swin_unetr_xattn_flagship_fast.yaml
+                                       # and tests/test_fast_profile.py's
+                                       # quality bound)
           volume_shape: [192, 192, 256]  # representative case shape
           repeats: 3                   # timed runs per candidate
 
@@ -64,7 +69,10 @@ def tune_serving(
         t_cfg = t_cfg.to_dict()
     sw_batches = [int(s) for s in t_cfg.get("sw_batches", [4, 8, 12, 16])]
     default_ov = float(config.get("inference.sliding_window.overlap", 0.5))
-    overlaps = [float(o) for o in t_cfg.get("overlaps", [default_ov])]
+    # default sweep proposes the quality-certified fast profiles alongside
+    # the config's own overlap (dedup'd, config overlap first)
+    fast_default = [default_ov] + [o for o in (0.25, 0.125) if o != default_ov]
+    overlaps = [float(o) for o in t_cfg.get("overlaps", fast_default)]
     vol_shape = tuple(int(s) for s in t_cfg.get("volume_shape", [192, 192, 256]))
     repeats = max(1, int(t_cfg.get("repeats", 3)))
 

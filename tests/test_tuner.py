@@ -32,10 +32,12 @@ class TestTuneServing:
         from multimodal_organ_segmentation_tpu.serving.tuner import tune_serving
 
         report = tune_serving(tune_cfg)
-        assert len(report["results"]) == 2  # 2 sw_batches × 1 overlap
+        # 2 sw_batches × 3 overlaps (config's 0.5 + fast profiles 0.25/0.125
+        # proposed by default — configs/swin_unetr_xattn_flagship_fast.yaml)
+        assert len(report["results"]) == 6
+        assert {r["overlap"] for r in report["results"]} == {0.5, 0.25, 0.125}
         for r in report["results"]:
             assert r["vol_per_min"] > 0
-            assert r["overlap"] == 0.5
         best = report["best"]
         assert best["vol_per_min"] == max(
             r["vol_per_min"] for r in report["results"]
