@@ -56,7 +56,8 @@ def _make_model(jnp, modality_fusion=None, window=7, fusion_stages=(0, 1, 2, 3))
     )
 
 
-def _bench_sliding_window(jax, jnp, model, volume, n_iters=3):
+def _bench_sliding_window(jax, jnp, model, volume, n_iters=3,
+                          overlap=OVERLAP, sw_batch=SW_BATCH):
     from multimodal_organ_segmentation_tpu.ops.sliding_window import (
         sliding_window_inference,
     )
@@ -74,8 +75,8 @@ def _bench_sliding_window(jax, jnp, model, volume, n_iters=3):
             predict_fn,
             roi_size=ROI,
             num_classes=NUM_CLASSES,
-            overlap=OVERLAP,
-            sw_batch_size=SW_BATCH,
+            overlap=overlap,
+            sw_batch_size=sw_batch,
             mode="gaussian",
             params=v,
         )
@@ -310,6 +311,19 @@ def main():
     print(f"# native flagship (6^3, xattn /8+): {native_vpm:.2f} vol/min "
           f"mfu={native_mfu} ({time.time()-t_start:.0f}s)",
           file=sys.stderr, flush=True)
+    # the shipped fast-serving preset (configs/swin_unetr_xattn_flagship_
+    # fast.yaml): same flagship model, overlap 0.25 + sw_batch 12 (36 tiles
+    # divide exactly); quality bound CI-enforced by tests/test_fast_profile.py
+    fast_vpm, _ = _bench_sliding_window(
+        jax,
+        jnp,
+        _make_model(jnp, "cross_attention", window=6, fusion_stages=(1, 2, 3)),
+        volume,
+        overlap=0.25,
+        sw_batch=12,
+    )
+    print(f"# fast preset (overlap 0.25, sw 12): {fast_vpm:.2f} vol/min "
+          f"({time.time()-t_start:.0f}s)", file=sys.stderr, flush=True)
     # reference-envelope config (7³ windows, fusion at every stage) for
     # round-over-round continuity
     xattn_vpm, _ = _bench_sliding_window(
@@ -337,6 +351,7 @@ def main():
         "extra": {
             "inference_mfu": round(native_mfu, 4) if native_mfu else None,
             "xattn_7x7_ref_envelope_vol_per_min": round(xattn_vpm, 3),
+            "fast_preset_ov025_sw12_vol_per_min": round(fast_vpm, 3),
             "train_step_ms_96c_fs48_bf16_remat_micro1": round(train_ms, 1),
             "train_mfu": round(train_mfu, 4) if train_mfu else None,
             # live measurement: the batched backward that scan_blocks
