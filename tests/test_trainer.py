@@ -991,14 +991,19 @@ class TestCaseShardedNativeEval:
         assert len(m["per_case"]) == 1
 
     def test_merged_equals_unsharded(self, tiny_cfg, monkeypatch):
-        """Simulated 2-process run: the shards' payloads merged through the
-        allgather hook reproduce the unsharded metrics EXACTLY (float64
-        accumulators sum in the same order; JSON roundtrips float64)."""
+        """Simulated 2-process AUTO-sharded run: the shards' payloads merged
+        through the allgather hook reproduce the unsharded metrics EXACTLY
+        (float64 accumulators sum in the same order; JSON roundtrips
+        float64). Auto shards (derived from the jax.distributed topology)
+        are the ONLY merging kind — explicit ``[pid, nproc]`` shards stay
+        per-worker PARTIAL (see test_explicit_shard_never_merges)."""
         import multimodal_organ_segmentation_tpu.parallel.multihost as mh
 
         full = self._trainer(tiny_cfg).evaluate_native()
         assert full["num_cases"] == 2
 
+        # simulate a 2-process jax.distributed topology so the default
+        # evaluation.case_shard="auto" resolves to a merging CaseShard
         payloads = {}
         monkeypatch.setattr(jax, "process_count", lambda: 2)
         for pid in (0, 1):
@@ -1006,13 +1011,17 @@ class TestCaseShardedNativeEval:
                 payloads[pid] = obj
                 return [obj]
 
+            monkeypatch.setattr(jax, "process_index", lambda pid=pid: pid)
             monkeypatch.setattr(mh, "allgather_payloads", capture)
-            part = self._trainer(tiny_cfg, (pid, 2)).evaluate_native()
+            part = self._trainer(tiny_cfg).evaluate_native()
+            # capture() returns only this process's payload, so the
+            # "merged" result here is the partial single-shard view
             assert part["num_cases"] == 1
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
         monkeypatch.setattr(
             mh, "allgather_payloads", lambda obj: [payloads[0], payloads[1]]
         )
-        merged = self._trainer(tiny_cfg, (0, 2)).evaluate_native()
+        merged = self._trainer(tiny_cfg).evaluate_native()
 
         assert merged["num_cases"] == 2
         for k in (
@@ -1030,3 +1039,22 @@ class TestCaseShardedNativeEval:
         assert [r["case"] for r in merged["per_case"]] == [
             r["case"] for r in full["per_case"]
         ]
+
+    def test_explicit_shard_never_merges(self, tiny_cfg, monkeypatch):
+        """Explicit ``[pid, nproc]`` shards describe INDEPENDENT workers
+        (e.g. a coordinator-less job array): even under a multi-process
+        jax.distributed topology the result stays per-worker PARTIAL and
+        the allgather hook is never invoked — merging would double-count
+        every case when all processes read the same explicit slot."""
+        import multimodal_organ_segmentation_tpu.parallel.multihost as mh
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+
+        def boom(obj):
+            raise AssertionError("explicit shard must not allgather")
+
+        monkeypatch.setattr(mh, "allgather_payloads", boom)
+        part = self._trainer(tiny_cfg, (0, 2)).evaluate_native()
+        assert part["num_cases"] == 1
+        assert len(part["per_case"]) == 1
