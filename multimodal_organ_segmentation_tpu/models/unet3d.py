@@ -94,19 +94,22 @@ class UNet3D(nn.Module):
                 # aux head params must exist regardless of `train` so the
                 # init-time tree matches the train-time tree; at inference
                 # the unused results are dead code to XLA
+                # ≥f32 head (AMP pattern); promote keeps f64 under jax x64
+                hd = jnp.promote_types(x.dtype, jnp.float32)
                 aux_logits.append(
                     nn.Conv(
                         self.out_channels,
                         (1, 1, 1),
-                        dtype=jnp.float32,
+                        dtype=hd,
                         name=f"ds_head{j}",
-                    )(x.astype(jnp.float32))
+                    )(x.astype(hd))
                 )
 
         x = Dropout3D(self.dropout)(x, train)
+        hd = jnp.promote_types(x.dtype, jnp.float32)
         logits = nn.Conv(
-            self.out_channels, (1, 1, 1), dtype=jnp.float32, name="out_conv"
-        )(x.astype(jnp.float32))
+            self.out_channels, (1, 1, 1), dtype=hd, name="out_conv"
+        )(x.astype(hd))
 
         if self.deep_supervision and train and aux_logits:
             from multimodal_organ_segmentation_tpu.ops.resize import resize_linear

@@ -8,6 +8,11 @@ pixel data). Also writes explicit-VR-LE files for test fixtures.
 Returned datasets expose pydicom-style attribute names
 (``ds.InstanceNumber``, ``ds.pixel_array``, …) so the converter code reads
 naturally against the reference's behavior (dicom_converter.py:91-284).
+
+Out of scope (clean ValueError, never a silent misread): compressed
+transfer syntaxes and big-endian explicit VR (1.2.840.10008.1.2.2 —
+retired 2006; present only in old archives, reject rather than risk a
+byte-swapped volume). Multi-frame files decode via NumberOfFrames.
 """
 
 from __future__ import annotations
@@ -46,6 +51,7 @@ TAGS: Dict[Tuple[int, int], Tuple[str, str]] = {
     (0x0020, 0x0037): ("ImageOrientationPatient", "DS"),
     (0x0020, 0x1041): ("SliceLocation", "DS"),
     (0x0028, 0x0002): ("SamplesPerPixel", "US"),
+    (0x0028, 0x0008): ("NumberOfFrames", "IS"),
     (0x0028, 0x0010): ("Rows", "US"),
     (0x0028, 0x0011): ("Columns", "US"),
     (0x0028, 0x0030): ("PixelSpacing", "DS"),
@@ -74,23 +80,52 @@ class Dataset:
 
     @property
     def pixel_array(self) -> np.ndarray:
+        """Decoded pixels, pydicom-shaped (dicom_converter.py:40-89 reads
+        through pydicom which honors NumberOfFrames):
+
+        - single frame:      ``[rows, cols]`` (+ ``[..., samples]`` if >1)
+        - NumberOfFrames>1:  ``[frames, rows, cols]`` (+ samples axis),
+          frames laid out frame-major per PS3.5 §8.2.
+
+        The byte count is validated EXACTLY (± one PS3.5 even-length pad
+        byte for 8-bit data) — a short or oversized PixelData raises
+        instead of silently truncating an enhanced-CT volume to one slice.
+        """
         if self._raw_pixel is None:
             raise AttributeError("no PixelData")
         bits = int(getattr(self, "BitsAllocated", 16))
         signed = int(getattr(self, "PixelRepresentation", 0)) == 1
         samples = int(getattr(self, "SamplesPerPixel", 1))
+        frames = int(getattr(self, "NumberOfFrames", 1) or 1)
         rows = int(self.Rows)
         cols = int(self.Columns)
         if bits == 16:
-            dtype = np.int16 if signed else np.uint16
+            dtype = np.dtype(np.int16 if signed else np.uint16)
         elif bits == 8:
-            dtype = np.int8 if signed else np.uint8
+            dtype = np.dtype(np.int8 if signed else np.uint8)
         else:
             raise ValueError(f"unsupported BitsAllocated={bits}")
-        arr = np.frombuffer(self._raw_pixel, dtype=dtype)
+        if min(frames, rows, cols, samples) <= 0:
+            raise ValueError(
+                f"bad pixel geometry: frames={frames} rows={rows} "
+                f"cols={cols} samples={samples}"
+            )
+        expected = frames * rows * cols * samples * dtype.itemsize
+        pad_ok = 1 if (dtype.itemsize == 1 and expected % 2) else 0
+        nbytes = len(self._raw_pixel)
+        if nbytes not in (expected, expected + pad_ok):
+            raise ValueError(
+                f"PixelData has {nbytes} bytes, expected {expected} for "
+                f"frames={frames} rows={rows} cols={cols} "
+                f"samples={samples} at {bits} bits"
+            )
+        arr = np.frombuffer(self._raw_pixel[:expected], dtype=dtype)
+        shape = [rows, cols]
         if samples > 1:
-            return arr.reshape(rows, cols, samples)
-        return arr[: rows * cols].reshape(rows, cols)
+            shape.append(samples)
+        if frames > 1:
+            shape.insert(0, frames)
+        return arr.reshape(shape)
 
 
 def _parse_value(vr: str, data: bytes) -> Any:
@@ -174,6 +209,13 @@ def _read_elements(buf: bytes, offset: int, end: int, explicit: bool, ds: Datase
         if length == 0xFFFFFFFF:
             raise ValueError("undefined-length non-SQ element (compressed pixel data?)")
 
+        if offset + length > end:
+            # a declared length overrunning the buffer means a truncated
+            # or corrupt file — never hand back a silently short value
+            raise ValueError(
+                f"element ({group:04x},{elem:04x}) of length {length} "
+                f"overruns the file ({end - offset} bytes left)"
+            )
         data = buf[offset : offset + length]
         offset += length
 
@@ -182,11 +224,27 @@ def _read_elements(buf: bytes, offset: int, end: int, explicit: bool, ds: Datase
             continue
         if name_vr:
             setattr(ds, name_vr[0], _parse_value(vr if explicit else name_vr[1], data))
+    if offset != end:
+        # 1..7 trailing bytes: a partial element header at EOF
+        raise ValueError(
+            f"{end - offset} trailing bytes after the last data element"
+        )
     return offset
 
 
+_PLAUSIBLE_GROUPS = frozenset(
+    {0x0002, 0x0008, 0x0009, 0x0010, 0x0018, 0x0020, 0x0028, 0x0032,
+     0x0054, 0x3006, 0x7FE0, 0xFFFE}
+)
+
+
 def dcmread(path) -> Dataset:
-    """Read a DICOM Part-10 file (or raw dataset without preamble)."""
+    """Read a DICOM Part-10 file (or raw dataset without preamble).
+
+    Malformed input (truncated elements, lengths overrunning EOF, bytes
+    that are not DICOM at all) raises ValueError — the reader never
+    silently returns a partial dataset.
+    """
     buf = Path(path).read_bytes()
     ds = Dataset()
 
@@ -212,11 +270,24 @@ def dcmread(path) -> Dataset:
         explicit = ts == _EXPLICIT_LE
     else:
         offset = 0
+        if len(buf) < 8:
+            raise ValueError(f"{path}: too small to be a DICOM dataset")
+        # a raw (preamble-less) dataset must start at a plausible group —
+        # arbitrary bytes must not quietly parse into an empty dataset
+        (group0,) = struct.unpack_from("<H", buf, 0)
+        if group0 not in _PLAUSIBLE_GROUPS:
+            raise ValueError(
+                f"{path}: not a DICOM file (no DICM magic; first group "
+                f"{group0:#06x} implausible)"
+            )
         # sniff: explicit files have an uppercase-letter VR at offset 4
         vr_probe = buf[4:6]
         explicit = vr_probe.isalpha() and vr_probe.isupper()
 
-    _read_elements(buf, offset, len(buf), explicit, ds)
+    try:
+        _read_elements(buf, offset, len(buf), explicit, ds)
+    except struct.error:
+        raise ValueError(f"{path}: truncated DICOM element") from None
     return ds
 
 

@@ -94,15 +94,38 @@ class DicomConverter:
 
     # -- modality conversions --------------------------------------------------
 
+    @staticmethod
+    def _frame_slices(ds: dcm.Dataset) -> List[np.ndarray]:
+        """2-D grayscale slices from one file. A multi-frame file
+        (enhanced CT/PET/MR, NumberOfFrames>1) is a slice stack in one
+        file — the reference gets this for free from pydicom's
+        ``[frames, rows, cols]`` pixel_array (dicom_converter.py:40-89);
+        color pixel data is rejected here (only US handles RGB)."""
+        px = ds.pixel_array.astype(np.float32)
+        frames = int(getattr(ds, "NumberOfFrames", 1) or 1)
+        if frames > 1:
+            if px.ndim != 3:
+                raise ValueError(
+                    "multi-frame color DICOM is unsupported for CT/PET/MRI "
+                    f"(pixel shape {px.shape})"
+                )
+            return list(px)
+        if px.ndim != 2:
+            raise ValueError(
+                f"color pixel data (shape {px.shape}) is unsupported for "
+                "CT/PET/MRI"
+            )
+        return [px]
+
     def _stack(self, files: List[dcm.Dataset], rescale: bool) -> np.ndarray:
         slices = []
         for ds in files:
-            px = ds.pixel_array.astype(np.float32)
-            if rescale:
-                slope = float(getattr(ds, "RescaleSlope", 1) or 1)
-                intercept = float(getattr(ds, "RescaleIntercept", 0) or 0)
-                px = px * slope + intercept
-            slices.append(px)
+            slope = float(getattr(ds, "RescaleSlope", 1) or 1)
+            intercept = float(getattr(ds, "RescaleIntercept", 0) or 0)
+            for px in self._frame_slices(ds):
+                if rescale:
+                    px = px * slope + intercept
+                slices.append(px)
         return np.stack(slices, axis=-1)
 
     def _convert_rescaled(self, files):
@@ -158,9 +181,20 @@ class DicomConverter:
         slices = []
         for ds in files:
             px = ds.pixel_array.astype(np.float32)
-            if px.ndim == 3 and px.shape[-1] == 3:  # RGB → gray
+            # RGB → gray mean (single frame [R,C,3] or cine [F,R,C,3]);
+            # SamplesPerPixel disambiguates from a 3-frame grayscale cine
+            if (
+                px.ndim >= 3
+                and px.shape[-1] == 3
+                and int(getattr(ds, "SamplesPerPixel", 1)) == 3
+            ):
                 px = np.mean(px, axis=-1)
-            slices.append(px)
+            if px.ndim == 3:  # multi-frame cine → one slice per frame
+                slices.extend(px)
+            elif px.ndim == 2:
+                slices.append(px)
+            else:
+                raise ValueError(f"unsupported US pixel shape {px.shape}")
         volume = (
             slices[0][..., np.newaxis] if len(slices) == 1 else np.stack(slices, axis=-1)
         )

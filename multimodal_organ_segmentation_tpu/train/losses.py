@@ -24,6 +24,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _at_least_f32(x: jax.Array) -> jax.Array:
+    """Cast up to f32 for reductions, preserving f64 under jax x64 —
+    the float64 step-parity test (test_step_parity.py) pins the update
+    math at ~1e-16 through this path."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def _one_hot(labels: jax.Array, num_classes: int) -> jax.Array:
     return jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
 
@@ -38,8 +45,8 @@ def dice_loss(
 ) -> jax.Array:
     """Soft Dice loss over ``[B, ..., C]`` logits and integer labels."""
     num_classes = logits.shape[-1]
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) if apply_softmax else (
-        logits.astype(jnp.float32)
+    probs = jax.nn.softmax(_at_least_f32(logits), axis=-1) if apply_softmax else (
+        _at_least_f32(logits)
     )
     target = _one_hot(labels, num_classes)
 
@@ -71,7 +78,7 @@ def cross_entropy_loss(
     reduction: str = "mean",
 ) -> jax.Array:
     """Softmax cross entropy with torch-compatible weighted-mean reduction."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(_at_least_f32(logits), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)
     nll = nll[..., 0]
     if class_weights is not None:
@@ -117,7 +124,7 @@ def tversky_loss(
 ) -> jax.Array:
     """Tversky loss (generalized Dice with FP/FN control)."""
     num_classes = logits.shape[-1]
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = jax.nn.softmax(_at_least_f32(logits), axis=-1)
     target = _one_hot(labels, num_classes)
 
     b, c = probs.shape[0], probs.shape[-1]

@@ -152,11 +152,24 @@ def make_train_step(
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             return (grads_acc, loss_acc + loss, new_extra), None
 
+        # accumulate in ≥f32 (promote keeps f64 under jax x64 — the
+        # float64 step-parity test pins the update math through here)
         zero_grads = jax.tree_util.tree_map(
-            lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params
+            lambda p: jnp.zeros_like(
+                p, dtype=jnp.promote_types(p.dtype, jnp.float32)
+            ),
+            state.params,
+        )
+        leaves = jax.tree_util.tree_leaves(state.params)
+        loss_dt = jnp.promote_types(
+            jnp.promote_types(
+                jnp.result_type(leaves[0]) if leaves else jnp.float32,
+                jnp.result_type(images),
+            ),
+            jnp.float32,
         )
         (grads, loss_sum, extra), _ = jax.lax.scan(
-            micro, (zero_grads, jnp.zeros((), jnp.float32), state.extra),
+            micro, (zero_grads, jnp.zeros((), loss_dt), state.extra),
             (images, labels, keys),
         )
         scale = 1.0 / accum_steps

@@ -108,9 +108,20 @@ def _quaternion_affine(hdr_fields, zooms) -> np.ndarray:
 
 
 def load(path) -> NiftiImage:
-    """Load a .nii / .nii.gz file."""
-    with _open_maybe_gzip(path, "rb") as f:
-        raw = f.read()
+    """Load a .nii / .nii.gz file.
+
+    Malformed input raises ValueError — never a silently short or
+    garbage array (truncated header/payload, bad magic, dim[0] outside
+    1..7, non-positive dims or spatial pixdims; the robustness the
+    reference inherits from nibabel, /root/reference/src/utils/io.py:54-109).
+    """
+    try:
+        with _open_maybe_gzip(path, "rb") as f:
+            raw = f.read()
+    except FileNotFoundError:
+        raise  # serving maps this to HTTP 400 (server.py:61)
+    except (OSError, EOFError) as e:  # gzip.BadGzipFile is an OSError
+        raise ValueError(f"{path}: not a readable NIfTI file ({e})") from None
 
     if len(raw) < HEADER_SIZE:
         raise ValueError(f"{path}: too small to be NIfTI")
@@ -127,8 +138,12 @@ def load(path) -> NiftiImage:
         return struct.unpack_from(endian + fmt, raw, off)
 
     dim = u("8h", 40)
-    ndim = max(1, min(dim[0], 7))
+    if not 1 <= dim[0] <= 7:
+        raise ValueError(f"{path}: dim[0]={dim[0]} outside the spec's 1..7")
+    ndim = dim[0]
     shape = tuple(int(x) for x in dim[1 : 1 + ndim])
+    if any(s <= 0 for s in shape):
+        raise ValueError(f"{path}: non-positive dimension in {shape}")
     (datatype,) = u("h", 70)
     (bitpix,) = u("h", 72)
     pixdim = u("8f", 76)
@@ -171,8 +186,22 @@ def load(path) -> NiftiImage:
     else:
         affine = np.diag(list(zooms[:3]) + [1.0])
 
+    # spec: spatial pixdims are positive (pixdim[0]=qfac carries the sign)
+    if ndim >= 2 and any(
+        z <= 0.0 for z in pixdim[1 : 1 + min(3, ndim)]
+    ):
+        raise ValueError(
+            f"{path}: non-positive spatial pixdim {pixdim[1:4]}"
+        )
+
     offset = int(vox_offset) if vox_offset >= HEADER_SIZE else HEADER_SIZE + 4
     count = int(np.prod(shape))
+    need = offset + count * dtype.itemsize
+    if len(raw) < need:
+        raise ValueError(
+            f"{path}: truncated NIfTI payload — {len(raw)} bytes, "
+            f"need {need} for shape {shape} at vox_offset {offset}"
+        )
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=offset)
     data = data.reshape(shape, order="F")
 

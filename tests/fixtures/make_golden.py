@@ -177,6 +177,33 @@ def dicom_explicit_le() -> bytes:
     return out
 
 
+def dicom_multiframe_le() -> bytes:
+    """Explicit-VR-LE enhanced-CT-style multi-frame file: NumberOfFrames=3
+    (0028,0008), 2×2 uint16 planes concatenated frame-major in PixelData
+    (PS3.5 §8.2), rescale slope 2 / intercept -10.
+
+    Frame k voxel (r,c) = 100·k + 10·r + c, so the decoded stack and the
+    converter's rescaled volume are hand-computable."""
+    out = _meta("1.2.840.10008.1.2.1")
+    out += _el_explicit(0x0008, 0x0060, "CS", b"CT")
+    out += _el_explicit(0x0020, 0x0013, "IS", b"1 ")
+    out += _el_explicit(0x0028, 0x0008, "IS", b"3 ")          # NumberOfFrames
+    out += _el_explicit(0x0028, 0x0010, "US", struct.pack("<H", 2))
+    out += _el_explicit(0x0028, 0x0011, "US", struct.pack("<H", 2))
+    out += _el_explicit(0x0028, 0x0030, "DS", b"1\\1 ")
+    out += _el_explicit(0x0028, 0x0100, "US", struct.pack("<H", 16))
+    out += _el_explicit(0x0028, 0x0103, "US", struct.pack("<H", 0))
+    out += _el_explicit(0x0028, 0x1052, "DS", b"-10 ")
+    out += _el_explicit(0x0028, 0x1053, "DS", b"2 ")
+    pix = np.array(
+        [100 * k + 10 * r + c
+         for k in range(3) for r in range(2) for c in range(2)],
+        dtype="<u2",
+    ).tobytes()
+    out += _el_explicit(0x7FE0, 0x0010, "OW", pix)
+    return out
+
+
 def main():
     (HERE / "golden_be_qform.nii.gz").write_bytes(
         # mtime=0 + fixed filename field → deterministic gzip bytes
@@ -185,6 +212,7 @@ def main():
     (HERE / "golden_le_ext_sform.nii").write_bytes(nifti_le_ext_sform())
     (HERE / "golden_implicit_le.dcm").write_bytes(dicom_implicit_le())
     (HERE / "golden_explicit_le.dcm").write_bytes(dicom_explicit_le())
+    (HERE / "golden_multiframe_le.dcm").write_bytes(dicom_multiframe_le())
     print("fixtures written to", HERE)
 
 

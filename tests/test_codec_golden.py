@@ -149,6 +149,36 @@ class TestDicomGoldenRead:
         assert arr.dtype == np.uint16
         np.testing.assert_array_equal(arr, [[10, 20], [30, 40]])
 
+    def test_multiframe_le(self):
+        """Enhanced-CT-style multi-frame file: pixel_array honors
+        NumberOfFrames (0028,0008) and returns [frames, rows, cols] —
+        frame k voxel (r,c) = 100k + 10r + c by construction."""
+        ds = dcm.dcmread(FIX / "golden_multiframe_le.dcm")
+        assert ds.NumberOfFrames == 3
+        assert ds.Rows == 2 and ds.Columns == 2
+        arr = ds.pixel_array
+        assert arr.shape == (3, 2, 2)
+        assert arr.dtype == np.uint16
+        k, r, c = np.meshgrid(
+            np.arange(3), np.arange(2), np.arange(2), indexing="ij"
+        )
+        np.testing.assert_array_equal(arr, 100 * k + 10 * r + c)
+
+    def test_short_pixeldata_raises(self, tmp_path):
+        """A PixelData shorter than frames·rows·cols must raise, never
+        silently truncate (the pre-r5 codec returned frame 0 only)."""
+        raw = bytearray((FIX / "golden_multiframe_le.dcm").read_bytes())
+        # locate the OW PixelData element and shrink its declared length
+        # to one frame while also dropping the trailing bytes
+        idx = raw.find(struct.pack("<HH", 0x7FE0, 0x0010))
+        assert idx > 0
+        struct.pack_into("<I", raw, idx + 8, 8)  # 1 frame = 8 bytes
+        p = tmp_path / "short.dcm"
+        p.write_bytes(bytes(raw[: idx + 12 + 8]))
+        ds = dcm.dcmread(p)
+        with pytest.raises(ValueError, match="PixelData"):
+            ds.pixel_array
+
 
 class TestDicomWriterSpec:
     """Re-parse dcmwrite() output with raw struct reads per PS3.10/PS3.5."""
@@ -234,5 +264,6 @@ def test_fixture_bytes_stable():
             "golden_le_ext_sform.nii",
             "golden_implicit_le.dcm",
             "golden_explicit_le.dcm",
+            "golden_multiframe_le.dcm",
         ):
             assert (Path(td) / name).read_bytes() == (FIX / name).read_bytes(), name

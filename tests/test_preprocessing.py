@@ -177,6 +177,79 @@ class TestDicomConverter:
         assert vol.shape == (4, 4, 1)  # depth axis added
         np.testing.assert_allclose(vol, 60.0)  # RGB mean
 
+    def test_multiframe_enhanced_ct(self, tmp_path):
+        """A multi-frame (enhanced-CT) golden file converts to a slice
+        stack with rescale applied — the reference gets this via pydicom's
+        [frames, rows, cols] pixel_array (dicom_converter.py:40-89)."""
+        import shutil
+
+        fix = Path(__file__).resolve().parent / "fixtures"
+        d = tmp_path / "dicom"
+        d.mkdir()
+        shutil.copy(fix / "golden_multiframe_le.dcm", d / "vol.dcm")
+        out = DicomConverter().convert(d, tmp_path / "out", modality="CT")
+        vol = load_nifti(out)
+        assert vol.shape == (2, 2, 3)
+        r, c, k = np.meshgrid(
+            np.arange(2), np.arange(2), np.arange(3), indexing="ij"
+        )
+        # voxel = slope·raw + intercept = 2·(100k + 10r + c) − 10
+        np.testing.assert_allclose(vol, 2.0 * (100 * k + 10 * r + c) - 10.0)
+
+    def test_multiframe_us_cine(self, tmp_path):
+        """Multi-frame RGB US cine: RGB→gray mean, one slice per frame."""
+        rgb = np.stack(
+            [
+                np.stack(
+                    [np.full((4, 4), 10 * f + v, np.uint8) for v in (1, 2, 3)],
+                    axis=-1,
+                )
+                for f in range(3)
+            ]
+        )  # [3, 4, 4, 3]
+        dcm.dcmwrite(
+            tmp_path / "dicom" / "cine.dcm",
+            {
+                "Modality": "US",
+                "InstanceNumber": 1,
+                "NumberOfFrames": 3,
+                "Rows": 4,
+                "Columns": 4,
+                "BitsAllocated": 8,
+                "SamplesPerPixel": 3,
+            },
+            pixel_array=rgb,
+        )
+        out = DicomConverter().convert(
+            tmp_path / "dicom", tmp_path / "out", modality="US"
+        )
+        vol = load_nifti(out)
+        assert vol.shape == (4, 4, 3)
+        for f in range(3):
+            np.testing.assert_allclose(vol[..., f], 10.0 * f + 2.0)
+
+    def test_multiframe_color_ct_raises(self, tmp_path):
+        """Unsupported combination (multi-frame COLOR data on a CT path)
+        raises loudly instead of producing a garbage volume."""
+        rgb = np.zeros((2, 4, 4, 3), np.uint8)
+        dcm.dcmwrite(
+            tmp_path / "dicom" / "bad.dcm",
+            {
+                "Modality": "CT",
+                "InstanceNumber": 1,
+                "NumberOfFrames": 2,
+                "Rows": 4,
+                "Columns": 4,
+                "BitsAllocated": 8,
+                "SamplesPerPixel": 3,
+            },
+            pixel_array=rgb,
+        )
+        with pytest.raises(ValueError, match="multi-frame color"):
+            DicomConverter().convert(
+                tmp_path / "dicom", tmp_path / "out", modality="CT"
+            )
+
 
 class TestSUV:
     def test_time_to_seconds(self):
