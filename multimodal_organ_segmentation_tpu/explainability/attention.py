@@ -46,6 +46,29 @@ class AttentionVisualizer:
         mean over heads of attention received (column mean)."""
         return attn.mean(axis=1).mean(axis=1)
 
+    def _window_grid(
+        self, nw: int, spatial: Tuple[int, int, int]
+    ) -> Optional[Tuple[int, int, int]]:
+        """Per-axis window counts ``(nw_h, nw_w, nw_d)`` with product ``nw``.
+
+        Derived from the model's ``window_size`` and the input spatial dims
+        across candidate downsample factors (patch embed /2, then stage
+        strides), so an ANISOTROPIC grid whose product happens to be a
+        perfect cube (e.g. 2·4·8 = 64) is arranged on the correct axes
+        instead of being scrambled by a cube-root reshape (r4 ADVICE).
+        Falls back to a cube grid when the model exposes no window size.
+        """
+        ws = getattr(self.model, "window_size", None)
+        if ws is not None:
+            ws = tuple(int(w) for w in ws)
+            for k in range(1, 7):  # /2 (patch embed) … /64
+                dims = [max(1, -(-int(s) // (2**k))) for s in spatial]
+                cnt = tuple(-(-d // w) for d, w in zip(dims, ws))
+                if cnt[0] * cnt[1] * cnt[2] == nw:
+                    return cnt
+        side = round(nw ** (1 / 3))
+        return (side, side, side) if side**3 == nw else None
+
     def spatial_map(
         self,
         attn: np.ndarray,
@@ -63,10 +86,10 @@ class AttentionVisualizer:
         saliency = self.attention_rollout(attn)  # [B·nW, N]
         per_window = saliency.mean(axis=1)  # [B·nW]
         n = per_window.shape[0]
-        side = round(n ** (1 / 3))
-        if side**3 != n:
+        counts = self._window_grid(n, tuple(volume_shape))
+        if counts is None:
             return None
-        grid = per_window.reshape(side, side, side)
+        grid = per_window.reshape(counts)
         vol = resize_linear(jnp.asarray(grid), tuple(volume_shape), (0, 1, 2))
         vol = np.asarray(vol)
         lo, hi = vol.min(), vol.max()
@@ -96,15 +119,15 @@ class AttentionVisualizer:
             if "attn_probs" not in name or attn.ndim != 4:
                 continue
             nw = attn.shape[0] // n
-            side = round(nw ** (1 / 3))
-            if side**3 != nw:
+            counts = self._window_grid(nw, roi)
+            if counts is None:
                 continue
             # [n·nW, h, N, N] → attention received per token → per window
             sal = attn.astype(jnp.float32).mean(axis=(1, 2))  # [n·nW, N]
-            per_window = sal.mean(axis=1).reshape(n, side, side, side)
+            per_window = sal.mean(axis=1).reshape(n, *counts)
             vols.append(resize_linear(per_window, roi, spatial_axes=(1, 2, 3)))
         if not vols:
-            raise ValueError("no cube-grid attn_probs tensors to fold")
+            raise ValueError("no foldable attn_probs tensors (window grid unresolvable)")
         return jnp.stack(vols, axis=-1)  # [n, rh, rw, rd, L]
 
     def saliency_native(

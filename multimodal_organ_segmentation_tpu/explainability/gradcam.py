@@ -55,7 +55,23 @@ class GradCAM:
         return ["/".join(str(getattr(k, "key", k)) for k in path) for path, _ in flat]
 
     def _find(self, name: str) -> bool:
-        return any(name in n for n in self._flat_names())
+        return self._match(self._flat_names(), name) is not None
+
+    @staticmethod
+    def _match(names, target: str) -> Optional[str]:
+        """Bind ``target`` to exactly one path by EXACT leaf-name equality.
+
+        Substring matching silently bound the wrong layer when one
+        perturbation name prefixed another ("feat1" vs "feat10") — r4
+        ADVICE. Ambiguity raises instead of taking the first hit.
+        """
+        leaf = target.split("/")[-1]
+        hits = [nm for nm in names if nm.split("/")[-1] == leaf]
+        if len(hits) > 1:
+            raise ValueError(
+                f"target layer {target!r} is ambiguous: matches {sorted(hits)}"
+            )
+        return hits[0] if hits else None
 
     def _score(self, perts, x, params, class_idx: int):
         variables = {"params": params, "perturbations": perts}
@@ -100,7 +116,7 @@ class GradCAM:
         grads = self._gradients(x, class_idx)
         cams = {}
         for target in self.target_layers:
-            gname = next((n for n in grads if target in n or n in target), None)
+            gname = self._match(grads, target)
             # activations are keyed by the short perturbation name
             # ("feat1"), grads by the full path ("backbone/feat1")
             short = target.split("/")[-1]
@@ -169,7 +185,7 @@ class GradCAM:
         roi = patches.shape[1:4]
         cams = []
         for target in self.target_layers:
-            gname = next((nm for nm in grads if target in nm or nm in target), None)
+            gname = self._match(grads, target)
             short = target.split("/")[-1]
             act = acts.get(short, acts.get(target))
             if gname is None or act is None:

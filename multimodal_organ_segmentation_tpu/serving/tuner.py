@@ -72,6 +72,7 @@ def tune_serving(
     # default sweep proposes the quality-certified fast profiles alongside
     # the config's own overlap (dedup'd, config overlap first)
     fast_default = [default_ov] + [o for o in (0.25, 0.125) if o != default_ov]
+    allow_turbo = bool(t_cfg.get("allow_turbo", False))
     overlaps = [float(o) for o in t_cfg.get("overlaps", fast_default)]
     vol_shape = tuple(int(s) for s in t_cfg.get("volume_shape", [192, 192, 256]))
     repeats = max(1, int(t_cfg.get("repeats", 3)))
@@ -154,7 +155,18 @@ def tune_serving(
                 )
 
     ok = [r for r in results if "vol_per_min" in r]
-    best = max(ok, key=lambda r: r["vol_per_min"]) if ok else None
+    # Quality-aware selection: candidates at overlap >= 0.25 sit inside the
+    # CI-bounded 0.5% Dice-parity tier (tests/test_fast_profile.py); 0.125
+    # ("turbo", ~1% measured Dice trade — see configs/
+    # swin_unetr_xattn_flagship_fast.yaml) is measured but only ELIGIBLE as
+    # "best" with ``tune.allow_turbo: true`` — or when every successful
+    # candidate is sub-tier (the user swept ONLY turbo overlaps, which is
+    # its own opt-in). The full sweep is recorded either way.
+    pool = ok
+    if not allow_turbo:
+        tier = [r for r in ok if r["overlap"] >= 0.25 - 1e-9]
+        pool = tier or ok
+    best = max(pool, key=lambda r: r["vol_per_min"]) if pool else None
     return {"results": results, "best": best}
 
 
@@ -191,6 +203,12 @@ def write_profile(report: Dict[str, Any], path) -> None:
             f"({best['vol_per_min']} vol/min at "
             f"overlap={best['overlap']}, sw_batch={best['sw_batch']})\n"
         )
+        if float(best["overlap"]) < 0.25 - 1e-9:
+            f.write(
+                "# NOTE: overlap < 0.25 is the 'turbo' tier — measured "
+                "~1% Dice trade vs overlap 0.5 (see configs/"
+                "swin_unetr_xattn_flagship_fast.yaml); opt-in only.\n"
+            )
         yaml.safe_dump(doc, f, sort_keys=False)
     with open(p.with_suffix(p.suffix + ".report.json"), "w") as f:
         json.dump(report["results"], f, indent=2)

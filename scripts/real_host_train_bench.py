@@ -143,8 +143,9 @@ def numerics_gate(jax, jnp, fs=12, roi=32):
 
     @jax.jit
     def make_batch(key):
-        img = jax.random.normal(key, (1, 1, roi, roi, roi, 2), jnp.float32)
-        lbl = jax.random.randint(key, (1, 1, roi, roi, roi), 0, NUM_CLASSES)
+        k_img, k_lbl = jax.random.split(key)
+        img = jax.random.normal(k_img, (1, 1, roi, roi, roi, 2), jnp.float32)
+        lbl = jax.random.randint(k_lbl, (1, 1, roi, roi, roi), 0, NUM_CLASSES)
         return img, lbl
 
     img, lbl = make_batch(jax.random.key(1))
@@ -189,8 +190,9 @@ def measure(jax, jnp, micro, roi=96, fs=48, n_iters=5):
 
     @jax.jit
     def make_batch(key):
-        img = jax.random.normal(key, (1, micro, roi, roi, roi, 2), jnp.float32)
-        lbl = jax.random.randint(key, (1, micro, roi, roi, roi), 0, NUM_CLASSES)
+        k_img, k_lbl = jax.random.split(key)
+        img = jax.random.normal(k_img, (1, micro, roi, roi, roi, 2), jnp.float32)
+        lbl = jax.random.randint(k_lbl, (1, micro, roi, roi, roi), 0, NUM_CLASSES)
         return img, lbl
 
     img, lbl = make_batch(jax.random.key(1))

@@ -62,6 +62,17 @@ class TestGradCAM:
         out = visualize_gradcam(np.asarray(x[0]), cam["feat1"], tmp_path / "cam.png")
         assert Path(out).stat().st_size > 1000
 
+    def test_layer_match_exact_leaf(self):
+        """Layer binding is exact-leaf, not substring: 'feat1' must never
+        bind 'feat10', and a duplicated leaf raises instead of silently
+        taking the first hit (r4 ADVICE)."""
+        names = ["backbone/feat1", "backbone/feat10"]
+        assert GradCAM._match(names, "feat1") == "backbone/feat1"
+        assert GradCAM._match(names, "feat10") == "backbone/feat10"
+        assert GradCAM._match(names, "feat2") is None
+        with pytest.raises(ValueError, match="ambiguous"):
+            GradCAM._match(["a/feat1", "b/feat1"], "feat1")
+
     def test_perturb_grad_equals_activation_grad(self):
         """The perturbation trick must equal an analytic activation grad."""
         from flax import linen as nn
@@ -102,6 +113,48 @@ class TestAttention:
         assert len(attn_keys) == 4  # one per stage
         a = captured[attn_keys[0]]
         assert a.ndim == 4 and a.shape[-1] == 8  # window 2^3 tokens
+
+    def test_window_grid_anisotropic(self):
+        """Per-axis window counts come from window_size + input dims, so an
+        anisotropic grid whose product is a perfect cube (4·8·16 = 512 =
+        8³) folds on the right axes instead of a scrambled cube reshape
+        (r4 ADVICE)."""
+        model = SwinUNETR(
+            out_channels=2, feature_size=4, depths=(1, 1, 1, 1),
+            num_heads=(1, 1, 1, 1), window_size=(2, 2, 2),
+        )
+        viz = AttentionVisualizer.__new__(AttentionVisualizer)
+        viz.model = model
+        # stage-1 grid of a (16, 32, 64) ROI: /2 → (8, 16, 32) → windows
+        # (4, 8, 16); product 512 is ALSO 8³ — the old cube-root reshape
+        # silently scrambled exactly this case
+        assert viz._window_grid(512, (16, 32, 64)) == (4, 8, 16)
+        # cubic case unchanged
+        assert viz._window_grid(512, (32, 32, 32)) == (8, 8, 8)
+        # no window_size on the model → cube fallback, else unresolvable
+        viz.model = object()
+        assert viz._window_grid(512, (16, 32, 64)) == (8, 8, 8)
+        assert viz._window_grid(500, (16, 32, 64)) is None
+
+    def test_saliency_native_anisotropic_roi(self):
+        """End-to-end fold on an anisotropic ROI: every stage's window grid
+        is anisotropic (products 1024/128/16/2 — none a perfect cube), so
+        the cube-root reshape could fold NONE of them; the derived grid
+        folds all four."""
+        model = SwinUNETR(
+            out_channels=2, feature_size=4, depths=(1, 1, 1, 1),
+            num_heads=(1, 1, 1, 1), window_size=(2, 2, 2),
+        )
+        x = np.random.default_rng(3).normal(size=(32, 32, 64, 1)).astype(np.float32)
+        variables = model.init(
+            jax.random.key(0), jnp.asarray(x)[None], train=False
+        )
+        viz = AttentionVisualizer(model, variables)
+        sals = viz.saliency_native(x, roi_size=(32, 32, 64), sw_batch_size=1)
+        assert len(sals) == 4
+        for s in sals:
+            assert s.shape == (32, 32, 64)
+            assert np.all(np.isfinite(s))
 
     def test_visualize(self, tmp_path):
         model = SwinUNETR(

@@ -38,10 +38,60 @@ class TestTuneServing:
         assert {r["overlap"] for r in report["results"]} == {0.5, 0.25, 0.125}
         for r in report["results"]:
             assert r["vol_per_min"] > 0
+        # default (no explicit tune.overlaps): best is the fastest candidate
+        # INSIDE the 0.5%-parity tier (overlap >= 0.25); turbo 0.125 is
+        # measured but not auto-selected (its ~1% Dice trade is opt-in)
         best = report["best"]
-        assert best["vol_per_min"] == max(
-            r["vol_per_min"] for r in report["results"]
-        )
+        tier = [r for r in report["results"] if r["overlap"] >= 0.25]
+        assert best["overlap"] >= 0.25
+        assert best["vol_per_min"] == max(r["vol_per_min"] for r in tier)
+
+    def test_turbo_never_auto_selected(self, tune_cfg, monkeypatch):
+        """Even when overlap 0.125 measures fastest, the default sweep
+        picks the best candidate at overlap >= 0.25."""
+        import time as _time
+
+        import multimodal_organ_segmentation_tpu.serving.tuner as T
+        from multimodal_organ_segmentation_tpu.ops import sliding_window as SW
+
+        orig = SW.SlidingWindowRunner
+
+        class Handicapped(orig):
+            def __call__(self, volume, variables):
+                if self.overlap >= 0.25:  # make the parity tier look slow
+                    _time.sleep(0.15)
+                return orig.__call__(self, volume, variables)
+
+        monkeypatch.setattr(SW, "SlidingWindowRunner", Handicapped)
+        cfg = tune_cfg.copy()
+        cfg.set("tune.sw_batches", [1])
+        report = T.tune_serving(cfg)
+        by_ov = {r["overlap"]: r for r in report["results"]}
+        assert by_ov[0.125]["vol_per_min"] > by_ov[0.25]["vol_per_min"]
+        assert report["best"]["overlap"] >= 0.25
+
+    def test_explicit_turbo_overlap_selectable(self, tune_cfg):
+        """Explicitly listing 0.125 under tune.overlaps opts into turbo."""
+        from multimodal_organ_segmentation_tpu.serving.tuner import tune_serving
+
+        cfg = tune_cfg.copy()
+        cfg.set("tune.overlaps", [0.125])
+        cfg.set("tune.sw_batches", [1])
+        report = tune_serving(cfg)
+        assert report["best"]["overlap"] == 0.125
+
+    def test_write_profile_annotates_turbo(self, tmp_path):
+        from multimodal_organ_segmentation_tpu.serving.tuner import write_profile
+
+        report = {
+            "results": [{"overlap": 0.125, "sw_batch": 9, "vol_per_min": 50.7}],
+            "best": {"overlap": 0.125, "sw_batch": 9, "vol_per_min": 50.7},
+        }
+        path = tmp_path / "turbo.yaml"
+        write_profile(report, path)
+        text = path.read_text()
+        assert "turbo" in text and "Dice" in text
+        assert yaml.safe_load(text)["inference"]["sliding_window"]["overlap"] == 0.125
 
     def test_failed_candidate_recorded_not_fatal(self, tune_cfg, monkeypatch):
         """A candidate that fails to compile is recorded with its error and
