@@ -265,6 +265,72 @@ def _backend_probe(timeout_s: int = 600):
     return "backend_probe_failed", f"exit={r.returncode}: {tail}"
 
 
+def _load_prior_bench(bench_dir=None):
+    """Parsed result of the most recent ``BENCH_r*.json`` driver record.
+
+    Returns ``(round_n, parsed_result)`` or ``(None, None)``. The driver
+    writes ``{"n": round, "parsed": <our JSON line>}``; an outage round
+    (value 0.0 / "error" in extra) is skipped — comparing against it would
+    flag everything as an improvement and nothing as a regression.
+    """
+    if bench_dir is None:
+        bench_dir = Path(__file__).resolve().parent
+    best = (None, None)
+    for p in sorted(Path(bench_dir).glob("BENCH_r*.json")):
+        try:
+            rec = json.loads(p.read_text())
+            parsed = rec.get("parsed") or {}
+            n = int(rec.get("n", 0))
+        except Exception:
+            continue
+        if not parsed or not parsed.get("value"):
+            continue
+        if (parsed.get("extra") or {}).get("error"):
+            continue
+        if best[0] is None or n > best[0]:
+            best = (n, parsed)
+    return best
+
+
+def _check_regressions(result, threshold=0.07, bench_dir=None):
+    """Self-report deltas vs the previous round's bench (VERDICT r4 #10).
+
+    Compares the headline ``value`` and every shared numeric ``extra``
+    against the latest non-outage ``BENCH_r*.json``. Keys containing
+    ``_ms`` are lower-is-better; everything else (vol/min, MFU, Mvox/s)
+    is higher-is-better. Any metric worse than ``threshold`` (7%) prints
+    an explicit REGRESSION line on stderr; the full delta table lands in
+    ``result["regressions"]`` either way so the driver record carries it.
+    """
+    prior_n, prior = _load_prior_bench(bench_dir)
+    if prior is None:
+        return
+    pairs = [("value", prior.get("value"), result.get("value"))]
+    prior_extra = prior.get("extra") or {}
+    for k, cur in (result.get("extra") or {}).items():
+        pairs.append((k, prior_extra.get(k), cur))
+    report = {"vs_round": prior_n, "threshold": threshold, "worse": []}
+    for key, old, new in pairs:
+        if not isinstance(old, (int, float)) or not isinstance(new, (int, float)):
+            continue
+        if not old:
+            continue
+        lower_better = "_ms" in key
+        ratio = (old / new) if lower_better else (new / old)
+        delta_pct = round((ratio - 1.0) * 100, 2)  # + = better, - = worse
+        report.setdefault("deltas", {})[key] = delta_pct
+        if ratio < 1.0 - threshold:
+            report["worse"].append(
+                {"key": key, "prior": old, "current": new, "delta_pct": delta_pct}
+            )
+            print(
+                f"REGRESSION vs r{prior_n}: {key} {old} -> {new} "
+                f"({delta_pct:+.1f}%)",
+                file=sys.stderr, flush=True,
+            )
+    result["regressions"] = report
+
+
 def main():
     err_kind, err_detail = _backend_probe()
     if err_kind is not None:
@@ -369,6 +435,7 @@ def main():
             ),
         },
     }
+    _check_regressions(result)
     print(json.dumps(result))
 
 

@@ -29,6 +29,10 @@ stages = (
 )
 sw_batch = int(sys.argv[4]) if len(sys.argv) > 4 else 15
 overlap = float(sys.argv[5]) if len(sys.argv) > 5 else 0.5
+# feature_size A/B (VERDICT r4 item 5 — lane alignment): 48 (reference
+# envelope; C∈{48,96} pads to 128 lanes in the decoder convs) vs 64
+# (C∈{64,128} = exact 128-lane halves). Heads scale to keep head_dim 16.
+fs = int(sys.argv[6]) if len(sys.argv) > 6 else 48
 
 VOL_SHAPE = (192, 192, 256)
 ROI = (96, 96, 96)
@@ -49,12 +53,12 @@ def main():
     )
 
     log(f"window={window} fusion={fusion} stages={stages} sw_batch={sw_batch} "
-        f"overlap={overlap}")
+        f"overlap={overlap} fs={fs}")
     model = SwinUNETR(
         out_channels=NUM_CLASSES,
-        feature_size=48,
+        feature_size=fs,
         depths=(2, 2, 2, 2),
-        num_heads=(3, 6, 12, 24),
+        num_heads=(fs // 16, fs // 8, fs // 4, fs // 2),
         window_size=(window, window, window),
         dtype=jnp.bfloat16,
         modality_fusion="cross_attention" if fusion else None,
@@ -94,7 +98,7 @@ def main():
     dt = (time.perf_counter() - t0) / n
     log(
         f"RESULT window={window} fusion={int(fusion)} stages={stages} "
-        f"sw_batch={sw_batch} overlap={overlap}: "
+        f"sw_batch={sw_batch} overlap={overlap} fs={fs}: "
         f"{60.0 / dt:.2f} vol/min ({dt * 1e3:.0f} ms/vol)"
     )
 
