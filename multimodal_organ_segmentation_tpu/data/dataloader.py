@@ -235,9 +235,14 @@ def device_prefetch(iterator, size: int = 2):
         yield item
 
 
-def get_dataloader(config, split: str = "train", transform=None) -> DataLoader:
+def get_dataloader(
+    config, split: str = "train", transform=None,
+    shuffle=None, drop_last=None,
+) -> DataLoader:
     """Loader factory (reference: dataloader.py:14-60): batch size from
-    training config; shuffle/drop_last only for train."""
+    training config; shuffle/drop_last default to train-only, overridable
+    per call exactly like the reference's optional args
+    (dataloader.py:17-18)."""
     from multimodal_organ_segmentation_tpu.data.dataset import get_dataset
     from multimodal_organ_segmentation_tpu.data.transforms import get_transforms
 
@@ -245,6 +250,10 @@ def get_dataloader(config, split: str = "train", transform=None) -> DataLoader:
         transform = get_transforms(config, mode=split)
     dataset = get_dataset(config, split=split, transform=transform)
     is_train = split == "train"
+    if shuffle is None:
+        shuffle = is_train
+    if drop_last is None:
+        drop_last = is_train
     # multi-host: shard the TRAIN stream by process (each host loads 1/P of
     # every global batch; the trainer reassembles the global array).
     # Validation stays unsharded — every host computes the full val set
@@ -256,8 +265,8 @@ def get_dataloader(config, split: str = "train", transform=None) -> DataLoader:
     return DataLoader(
         dataset,
         batch_size=int(config.get("training.batch_size", 2)),
-        shuffle=is_train,
-        drop_last=is_train,
+        shuffle=shuffle,
+        drop_last=drop_last,
         num_workers=int(config.get("hardware.num_workers", 4)),
         prefetch=int(config.get("hardware.prefetch_depth", 2)),
         seed=int(config.get("experiment.seed", 42)),

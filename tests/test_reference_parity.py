@@ -88,16 +88,26 @@ def parity_setup(tmp_path_factory):
 
 @pytest.mark.e2e
 class TestReferenceParity:
-    def _run_reference(self, cfg_dict):
-        """Train the reference implementation (unmodified, via shim)."""
+    def _run_reference(self, cfg_dict, init_pth=None):
+        """Train the reference implementation (unmodified, via shim).
+
+        ``init_pth``: where to save the freshly built model's state_dict
+        BEFORE training, so our run can start from the identical weights
+        (via torch_import — the same injection test_step_parity uses).
+        Both loaders run unshuffled (the reference's own shuffle override,
+        dataloader.py:17) so the two frameworks consume identical batch
+        sequences.
+        """
         from src.data import get_dataloader as ref_loader
         from src.models import build_model as ref_build
         from src.trainer import Trainer as RefTrainer
 
         torch.manual_seed(42)
-        train_loader = ref_loader(cfg_dict, split="train")
+        train_loader = ref_loader(cfg_dict, split="train", shuffle=False)
         val_loader = ref_loader(cfg_dict, split="val")
         model = ref_build(cfg_dict)
+        if init_pth is not None:
+            torch.save(model.state_dict(), init_pth)
         trainer = RefTrainer(
             config=cfg_dict, model=model,
             train_loader=train_loader, val_loader=val_loader,
@@ -112,17 +122,26 @@ class TestReferenceParity:
         cfg = ConfigNode(cfg_dict)
         trainer = Trainer(
             cfg,
-            train_loader=get_dataloader(cfg, split="train"),
+            train_loader=get_dataloader(cfg, split="train", shuffle=False),
             val_loader=get_dataloader(cfg, split="val"),
         )
         return trainer.train()
 
-    def test_training_trajectories_match(self, parity_setup):
+    def test_training_trajectories_match(self, parity_setup, tmp_path):
+        """Same init (torch_import), same unshuffled batches, same
+        hyperparameters → the full Trainer.train() loops of both frameworks
+        must track tightly: first-epoch mean loss within 0.01, final val
+        Dice within 0.02 (r4 VERDICT #6 tightened these from 0.25/0.15 —
+        independent inits were the only slack)."""
         root, out = parity_setup
         cfg = _shared_config(root, out)
+        init_pth = tmp_path / "ref_init.pth"
 
-        ref_hist = self._run_reference(cfg)
-        our_hist = self._run_ours(cfg)
+        ref_hist = self._run_reference(cfg, init_pth=init_pth)
+
+        our_cfg = dict(cfg)
+        our_cfg["model"] = dict(cfg["model"], pretrained=str(init_pth))
+        our_hist = self._run_ours(our_cfg)
 
         ref_dice = ref_hist["val_dice"]
         our_dice = our_hist["val_dice"]
@@ -133,11 +152,12 @@ class TestReferenceParity:
         assert ref_loss[-1] < ref_loss[0]
         assert our_loss[-1] < our_loss[0]
 
-        # final validation dice within tolerance of each other (different
-        # init/RNG, same architecture+optimizer+data)
-        assert abs(our_dice[-1] - ref_dice[-1]) < 0.15, (
-            f"ours={our_dice[-1]:.4f} reference={ref_dice[-1]:.4f}"
+        # identical weights + identical batches: first-epoch mean loss is a
+        # sharp training-math check (loss + optimizer acting on the same
+        # numbers), final val Dice pins the whole loop incl. validation
+        assert abs(our_loss[0] - ref_loss[0]) < 0.01, (
+            f"first-epoch loss ours={our_loss[0]:.5f} ref={ref_loss[0]:.5f}"
         )
-        # and our first-epoch loss magnitude matches the reference's
-        # (same loss definition on the same data)
-        assert abs(our_loss[0] - ref_loss[0]) < 0.25
+        assert abs(our_dice[-1] - ref_dice[-1]) < 0.02, (
+            f"final dice ours={our_dice[-1]:.4f} reference={ref_dice[-1]:.4f}"
+        )
