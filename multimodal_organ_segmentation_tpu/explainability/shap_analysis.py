@@ -74,6 +74,91 @@ class SHAPAnalyzer:
         b = self._baseline(x, baseline)
         return np.asarray(self._integrated(x, b, class_idx, self.n_steps))
 
+    # ---- native-grid integrated gradients through the sliding window ----
+
+    def _tile_ig(self, params, patches, class_idx: int, baseline_kind: str):
+        """Per-tile integrated-gradients attributions ``[n, rh, rw, rd, C]``.
+
+        Each tile's score is the sum of its OWN class logits, so the batched
+        input gradient is exactly the per-tile gradient (tiles are
+        independent through the network). UNnormalized and signed — tiles
+        share the sliding window's Gaussian blend, exactly like logits
+        (same rule as GradCAM._tile_cams). The ``background`` baseline is
+        the per-tile channel mean (equals the whole-volume mean when one
+        tile covers the volume — the equality the test pins).
+        """
+        variables = {"params": params}
+
+        def score(xs):
+            out = self.model.apply(variables, xs, train=False)
+            logits = out[0] if isinstance(out, tuple) else out
+            return jnp.sum(logits[..., class_idx])
+
+        grad = jax.grad(score)
+        if baseline_kind == "zeros":
+            baseline = jnp.zeros_like(patches)
+        else:
+            mean = jnp.mean(patches, axis=(1, 2, 3), keepdims=True)
+            baseline = jnp.broadcast_to(mean, patches.shape)
+        alphas = (jnp.arange(self.n_steps, dtype=jnp.float32) + 0.5) / self.n_steps
+
+        def body(acc, alpha):
+            xi = baseline + alpha * (patches - baseline)
+            return acc + grad(xi), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros_like(patches), alphas)
+        return (patches - baseline) * total / self.n_steps
+
+    def integrated_gradients_native(
+        self,
+        volume,
+        class_idx: int = 1,
+        *,
+        roi_size,
+        overlap: float = 0.5,
+        sw_batch_size: int = 4,
+        mode: str = "gaussian",
+        baseline: str = "background",
+    ) -> np.ndarray:
+        """IG attributions on the NATIVE volume grid via sliding-window
+        blending (VERDICT r4 #9; reference computes IG only on the resized
+        grid, src/explainability/shap_analysis.py:108-165).
+
+        Args:
+            volume: ``[H, W, D, C]`` native-grid multi-channel image.
+        Returns:
+            ``[H, W, D, C]`` signed attribution volume (same grid).
+        """
+        from multimodal_organ_segmentation_tpu.ops.sliding_window import (
+            sliding_window_inference,
+        )
+
+        # cache the tile fn per (class, baseline): sliding_window_inference
+        # hashes predict_fn by identity — a fresh partial per call would
+        # recompile per case
+        cache = getattr(self, "_tile_fn_cache", None)
+        if cache is None:
+            cache = self._tile_fn_cache = {}
+        key = (class_idx, baseline)
+        tile_fn = cache.get(key)
+        if tile_fn is None:
+            tile_fn = cache[key] = partial(
+                self._tile_ig, class_idx=class_idx, baseline_kind=baseline
+            )
+
+        volume = jnp.asarray(volume)
+        blended = sliding_window_inference(
+            volume,
+            tile_fn,
+            roi_size=tuple(roi_size),
+            num_classes=int(volume.shape[-1]),
+            overlap=overlap,
+            sw_batch_size=sw_batch_size,
+            mode=mode,
+            params=self.variables["params"],
+        )
+        return np.asarray(blended)
+
     def channel_importance(self, attribution: np.ndarray) -> np.ndarray:
         """Mean |attribution| per input channel (modality importance)."""
         return np.abs(attribution).mean(axis=tuple(range(attribution.ndim - 1)))

@@ -251,6 +251,31 @@ class TestSHAP:
         out = shap.visualize(x, attr, tmp_path / "shap.png")
         assert Path(out).stat().st_size > 1000
 
+    def test_ig_native_single_tile_equals_whole_volume(self, unet_setup):
+        """On a volume ≤ ROI, tile-blended IG must equal integrated_gradients
+        on the whole volume (one tile; per-tile background mean == whole-
+        volume mean; Gaussian weights normalize out) — VERDICT r4 #9."""
+        model, variables, x = unet_setup
+        shap = SHAPAnalyzer(model, variables, n_steps=8)
+        whole = shap.integrated_gradients(x, class_idx=1)
+        native = shap.integrated_gradients_native(
+            np.asarray(x[0]), class_idx=1, roi_size=(8, 8, 8)
+        )
+        np.testing.assert_allclose(native, whole[0], atol=1e-5)
+
+    def test_ig_native_multitile(self, unet_setup):
+        """Volume larger than ROI: signed attributions on the NATIVE grid,
+        finite, and per-modality channels preserved."""
+        model, variables, _ = unet_setup
+        shap = SHAPAnalyzer(model, variables, n_steps=4)
+        vol = np.random.default_rng(5).normal(size=(12, 12, 8, 2)).astype(np.float32)
+        attr = shap.integrated_gradients_native(
+            vol, class_idx=1, roi_size=(8, 8, 8), overlap=0.5, sw_batch_size=2
+        )
+        assert attr.shape == (12, 12, 8, 2)
+        assert np.all(np.isfinite(attr))
+        assert attr.min() < 0 < attr.max()  # signed, not degenerate
+
 
 class TestTSNE:
     def test_visualize(self, unet_setup, tmp_path):
