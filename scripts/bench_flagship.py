@@ -7,7 +7,7 @@ constrain the native flagship). 6³ windows give zero padding at every
 stage of a 96³ ROI (96/2=48, /4=24, /8=12, /16=6 — all divide 6);
 fusion_stages trades the expensive /4 cross-attention for throughput.
 
-Usage: python scripts/bench_flagship.py [window] [fusion 0|1] [stages csv|-] [sw_batch] [overlap]
+Usage: python scripts/bench_flagship.py [window] [fusion 0|1] [stages csv|-] [sw_batch] [overlap] [feature_size]
 
 overlap sets the tile stride (reference default 0.5 → 45 tiles on the
 192×192×256 bench volume; 0.25 → 36 tiles; 0.125 → 27) — the fast-serving
