@@ -70,6 +70,29 @@ class TestTuneServing:
         assert by_ov[0.125]["vol_per_min"] > by_ov[0.25]["vol_per_min"]
         assert report["best"]["overlap"] >= 0.25
 
+    def test_allow_turbo_opts_in(self, tune_cfg, monkeypatch):
+        """tune.allow_turbo: true lets the fastest candidate win regardless
+        of tier."""
+        import time as _time
+
+        import multimodal_organ_segmentation_tpu.serving.tuner as T
+        from multimodal_organ_segmentation_tpu.ops import sliding_window as SW
+
+        orig = SW.SlidingWindowRunner
+
+        class Handicapped(orig):
+            def __call__(self, volume, variables):
+                if self.overlap >= 0.25:
+                    _time.sleep(0.15)
+                return orig.__call__(self, volume, variables)
+
+        monkeypatch.setattr(SW, "SlidingWindowRunner", Handicapped)
+        cfg = tune_cfg.copy()
+        cfg.set("tune.sw_batches", [1])
+        cfg.set("tune.allow_turbo", True)
+        report = T.tune_serving(cfg)
+        assert report["best"]["overlap"] == 0.125
+
     def test_explicit_turbo_overlap_selectable(self, tune_cfg):
         """Explicitly listing 0.125 under tune.overlaps opts into turbo."""
         from multimodal_organ_segmentation_tpu.serving.tuner import tune_serving
