@@ -93,3 +93,42 @@ class TestCheckRegressions:
         runs against them for real at the end of every round)."""
         n, parsed = bench._load_prior_bench()
         assert n is not None and parsed["value"] > 0
+
+
+class TestPartialEmitOnSigterm:
+    def test_sigterm_emits_partial_json(self):
+        """A driver-budget SIGTERM mid-bench must still emit one valid JSON
+        line with the already-measured headline (+ truncated marker +
+        regression deltas) instead of dying silently — a cold-cache run
+        through a slow relay can exceed a fixed budget (r5: 1154s on the
+        flagship compile alone)."""
+        import signal
+        import subprocess
+
+        code = (
+            "import sys, time\n"
+            f"sys.path.insert(0, {str(Path(__file__).resolve().parents[1])!r})\n"
+            "import bench\n"
+            "result = {'value': 43.2, 'unit': 'volumes/min/chip',"
+            " 'extra': {'inference_mfu': 0.034}}\n"
+            "state = {'printed': False}\n"
+            "bench._install_partial_emitter(result, state)\n"
+            "print('READY', flush=True)\n"
+            "time.sleep(60)\n"
+        )
+        p = subprocess.Popen(
+            [sys.executable, "-c", code], stdout=subprocess.PIPE, text=True
+        )
+        try:
+            assert p.stdout.readline().strip() == "READY"
+            p.send_signal(signal.SIGTERM)
+            out = p.stdout.read()
+            assert p.wait(timeout=30) == 0
+        finally:
+            p.kill()
+        doc = json.loads(
+            [ln for ln in out.splitlines() if ln.startswith("{")][0]
+        )
+        assert doc["value"] == 43.2
+        assert "truncated" in doc["extra"]
+        assert "regressions" in doc  # the gate ran on the partial result
